@@ -1,0 +1,12 @@
+from fcsr_tpu.data.io import (  # noqa: F401
+    load_csv_vectors,
+    load_dataset,
+    load_or_synthesize,
+)
+from fcsr_tpu.data.synthetic import synthesize_paired_connectomes  # noqa: F401
+from fcsr_tpu.data.datamodule import (  # noqa: F401
+    ConnectomeDataModule,
+    contiguous_window_folds,
+    kfold_indices,
+    train_val_split,
+)

@@ -1,0 +1,62 @@
+"""Seeded synthetic connectome generator.
+
+The Kaggle challenge data (SLIM functional connectomes) is private; benches
+and tests need statistically similar stand-ins: symmetric, nonnegative,
+zero-diagonal matrices with values in [0, 1], a community (modular)
+structure, and an LR -> HR relationship that is actually learnable (the HR
+matrix is a smooth lift of the LR one plus structured residue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LR_DIM = 160
+HR_DIM = 268
+
+__all__ = ["synthesize_paired_connectomes"]
+
+
+def _random_membership(rng, n_nodes: int, n_comm: int) -> np.ndarray:
+    """Soft community membership matrix (n_nodes, n_comm), rows on simplex."""
+    m = rng.gamma(shape=0.5, scale=1.0, size=(n_nodes, n_comm))
+    return m / m.sum(axis=1, keepdims=True)
+
+
+def synthesize_paired_connectomes(n_subjects: int, lr_dim: int = LR_DIM,
+                                  hr_dim: int = HR_DIM, n_comm: int = 12,
+                                  noise: float = 0.08, seed: int = 42):
+    """Generate (lr, hr) stacks of paired connectomes.
+
+    Each subject gets a community-strength profile; LR and HR adjacencies are
+    projections of the same latent block structure through fixed
+    resolution-specific parcellation maps, so a model can genuinely learn the
+    160 -> 268 super-resolution mapping.
+
+    Returns (lr, hr): float32 arrays (n, lr_dim, lr_dim), (n, hr_dim, hr_dim),
+    symmetric, zero diagonal, clipped to [0, 1].
+    """
+    rng = np.random.default_rng(seed)
+    # Fixed parcellation maps shared across subjects (drawn from a fixed
+    # stream so LR and HR views stay consistent for a given seed).
+    p_lr = _random_membership(rng, lr_dim, n_comm)
+    p_hr = _random_membership(rng, hr_dim, n_comm)
+
+    lr_out = np.empty((n_subjects, lr_dim, lr_dim), dtype=np.float32)
+    hr_out = np.empty((n_subjects, hr_dim, hr_dim), dtype=np.float32)
+    for i in range(n_subjects):
+        c = rng.gamma(shape=1.5, scale=1.0, size=(n_comm, n_comm))
+        c = (c + c.T) / 2
+        c = c / c.max()
+        lr = p_lr @ c @ p_lr.T
+        hr = p_hr @ c @ p_hr.T
+        # per-resolution measurement noise
+        e_lr = rng.normal(0.0, noise, size=(lr_dim, lr_dim))
+        e_hr = rng.normal(0.0, noise, size=(hr_dim, hr_dim))
+        lr = lr / max(lr.max(), 1e-9) + (e_lr + e_lr.T) / 2
+        hr = hr / max(hr.max(), 1e-9) + (e_hr + e_hr.T) / 2
+        for m, out in ((lr, lr_out[i]), (hr, hr_out[i])):
+            m = np.clip(m, 0.0, 1.0)
+            np.fill_diagonal(m, 0.0)
+            out[:] = m.astype(np.float32)
+    return lr_out, hr_out

@@ -1,0 +1,122 @@
+"""Tests for the data layer: CSV ingestion, synthetic generator, splits."""
+
+import numpy as np
+import pytest
+
+from fcsr_tpu.data import (
+    ConnectomeDataModule,
+    contiguous_window_folds,
+    kfold_indices,
+    load_csv_vectors,
+    load_dataset,
+    load_or_synthesize,
+    synthesize_paired_connectomes,
+    train_val_split,
+)
+from fcsr_tpu.data.datamodule import epoch_permutations
+from fcsr_tpu.core.vectorize import vec_len
+
+
+def test_kfold_matches_sklearn():
+    from sklearn.model_selection import KFold
+    for n, k in [(167, 5), (167, 3), (20, 4)]:
+        ours = kfold_indices(n, k, seed=42)
+        theirs = list(KFold(n_splits=k, shuffle=True,
+                            random_state=42).split(np.zeros(n)))
+        assert len(ours) == len(theirs)
+        for (otr, ova), (str_, sva) in zip(ours, theirs):
+            np.testing.assert_array_equal(ova, sva)
+            np.testing.assert_array_equal(otr, str_)
+
+
+def test_contiguous_window_folds_disjoint_and_cover():
+    folds = contiguous_window_folds(167, 3, p_val=0.33, seed=42)
+    val_size = int(167 * 0.33)
+    all_val = []
+    for tr, va in folds:
+        assert len(va) == val_size
+        assert len(tr) == 167 - val_size
+        assert set(tr).isdisjoint(set(va))
+        all_val.append(va)
+    # fold windows are disjoint across folds (same shared permutation)
+    cat = np.concatenate(all_val)
+    assert len(set(cat.tolist())) == len(cat)
+
+
+def test_train_val_split():
+    tr, va = train_val_split(100, p_val=0.2, seed=1)
+    assert len(tr) == 80 and len(va) == 20
+    assert set(tr).isdisjoint(va)
+
+
+def test_synthetic_shapes_and_invariants():
+    lr, hr = synthesize_paired_connectomes(5, seed=3)
+    assert lr.shape == (5, 160, 160) and hr.shape == (5, 268, 268)
+    for stack in (lr, hr):
+        assert stack.dtype == np.float32
+        assert np.all(stack >= 0) and np.all(stack <= 1)
+        np.testing.assert_array_equal(stack, np.swapaxes(stack, 1, 2))
+        assert np.all(np.diagonal(stack, axis1=1, axis2=2) == 0)
+    # deterministic under seed
+    lr2, _ = synthesize_paired_connectomes(5, seed=3)
+    np.testing.assert_array_equal(lr, lr2)
+    # LR and HR of a subject are correlated (learnable mapping)
+    c = np.corrcoef(lr[0].ravel().repeat(1), lr[0].ravel())[0, 1]
+    assert c == pytest.approx(1.0)
+
+
+def test_csv_roundtrip(tmp_path):
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    n, size = 4, 12
+    vecs = rng.random((n, vec_len(size))).astype(np.float32)
+    vecs[0, 3] = np.nan  # NaN handling
+    df = pd.DataFrame(vecs)
+    df.insert(0, "ID", range(n))
+    path = tmp_path / "lr_train.csv"
+    df.to_csv(path, index=False)
+    loaded = load_csv_vectors(str(path))
+    assert loaded.shape == (n, vec_len(size))
+    assert loaded[0, 3] == 0.0
+    np.testing.assert_allclose(loaded[1:], vecs[1:], atol=1e-6)
+
+
+def test_load_dataset_cache(tmp_path):
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    for name, size, n in [("lr_train", 160, 3), ("hr_train", 268, 3),
+                          ("lr_test", 160, 2)]:
+        df = pd.DataFrame(rng.random((n, vec_len(size))).astype(np.float32))
+        df.to_csv(tmp_path / f"{name}.csv", index=False)
+    d1 = load_dataset(str(tmp_path))
+    assert d1["lr_train"].shape == (3, 160, 160)
+    assert d1["hr_train"].shape == (3, 268, 268)
+    assert d1["lr_test"].shape == (2, 160, 160)
+    assert (tmp_path / "fcsr_cache.npz").exists()
+    d2 = load_dataset(str(tmp_path))  # from cache
+    np.testing.assert_array_equal(d1["hr_train"], d2["hr_train"])
+
+
+def test_load_or_synthesize_fallback():
+    d = load_or_synthesize(None, n_train=4, n_test=2, seed=0)
+    assert d["lr_train"].shape == (4, 160, 160)
+    assert d["lr_test"].shape == (2, 160, 160)
+
+
+def test_datamodule_folds():
+    d = load_or_synthesize(None, n_train=12, n_test=2, seed=0)
+    dm = ConnectomeDataModule.from_arrays(d, scheme="kfold", k=3)
+    assert dm.n_folds == 3
+    lr_tr, hr_tr, lr_va, hr_va = dm.fold_arrays(0)
+    assert lr_tr.shape[0] + lr_va.shape[0] == 12
+    assert hr_tr.shape[1:] == (268, 268)
+
+
+def test_epoch_permutations():
+    p = epoch_permutations(10, 5, seed=7)
+    assert p.shape == (5, 10)
+    for row in p:
+        np.testing.assert_array_equal(np.sort(row), np.arange(10))
+    p2 = epoch_permutations(10, 5, seed=7)
+    np.testing.assert_array_equal(p, p2)
+    assert not np.array_equal(p[0], p[1])  # actually shuffled per epoch
