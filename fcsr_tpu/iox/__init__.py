@@ -1,0 +1,2 @@
+from fcsr_tpu.iox.submission import save_prediction, submission_frame  # noqa: F401
+from fcsr_tpu.iox.checkpoint import load_pytree, save_pytree  # noqa: F401

@@ -1,0 +1,110 @@
+"""MLP super-resolution baselines.
+
+Two variants, as in the reference:
+
+  * ``SuperResMLP`` — v1: Flatten(160^2) -> [Linear+BatchNorm+Dropout+ReLU]^n
+    -> Linear(268^2) -> Unflatten (ref: models/mlp.py:6-39). Operates on the
+    full dense matrix.
+  * ``SpectralResMLP`` — v2: vectorized triu input (12720) -> spectral-norm
+    Linear + BN + Dropout + LeakyReLU -> n residual blocks -> spectral-norm
+    Linear (35778) + Sigmoid -> scatter into the HR triu mask + symmetrize
+    (ref: training_template.ipynb cell-5). The shipped run uses n_layers=0,
+    hidden=(160+268)//2.
+
+Both are batched flax modules: input (B, n, n) dense adjacencies, output
+(B, m, m).  Vectorization uses the row-major triu mask exactly like the
+reference's boolean-mask gather.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+from fcsr_tpu.models.gsr import torch_linear_init
+
+__all__ = ["SuperResMLP", "SpectralResMLP"]
+
+
+class SuperResMLP(nn.Module):
+    """v1 dense-matrix MLP (ref: models/mlp.py)."""
+    input_size: int          # e.g. 160*160
+    output_size: int         # e.g. 268*268
+    hidden_dim: int
+    n_layers: int = 1
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = int(np.sqrt(self.output_size))
+        b = x.shape[0]
+        x = x.reshape(b, -1)
+        widths = [self.input_size] + [self.hidden_dim] * self.n_layers
+        for i in range(self.n_layers):
+            x = nn.Dense(self.hidden_dim,
+                         kernel_init=torch_linear_init(widths[i]),
+                         bias_init=torch_linear_init(widths[i]))(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.output_size,
+                     kernel_init=torch_linear_init(widths[-1]),
+                     bias_init=torch_linear_init(widths[-1]))(x)
+        return x.reshape(b, h, h)
+
+
+class SpectralResMLP(nn.Module):
+    """v2 spectral-norm residual MLP on vectorized connectomes
+    (ref: training_template.ipynb cell-5 SuperResMLP)."""
+    num_nodes_input: int = 160
+    num_nodes_output: int = 268
+    num_hidden: int = (160 + 268) // 2
+    n_layers: int = 0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, adj_batch, train: bool = False):
+        n_in = self.num_nodes_input
+        n_out = self.num_nodes_output
+        rows_in, cols_in = triu_indices_rowmajor(n_in)
+        rows_out, cols_out = triu_indices_rowmajor(n_out)
+        b = adj_batch.shape[0]
+
+        x = adj_batch[:, rows_in, cols_in]  # (B, 12720)
+
+        def sn_dense(features, name):
+            # torch's spectral_norm(Linear) with xavier-uniform init
+            # (the notebook applies Xavier to every Linear)
+            return nn.SpectralNorm(
+                nn.Dense(features, kernel_init=nn.initializers.xavier_uniform(),
+                         bias_init=nn.initializers.zeros, name=name),
+                error_on_non_matrix=False)
+
+        x = sn_dense(self.num_hidden, "input_dense")(
+            x, update_stats=train)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="input_bn")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+
+        for i in range(self.n_layers):
+            residual = x
+            y = sn_dense(self.num_hidden, f"res_dense_{i}")(
+                x, update_stats=train)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"res_bn_{i}")(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            y = nn.leaky_relu(y, negative_slope=0.01)
+            x = y + residual
+            x = nn.leaky_relu(x, negative_slope=0.01)
+
+        x = sn_dense(len(rows_out), "output_dense")(x, update_stats=train)
+        x = nn.sigmoid(x)
+
+        out = jnp.zeros((b, n_out, n_out), dtype=x.dtype)
+        out = out.at[:, rows_out, cols_out].set(x)
+        return out + jnp.swapaxes(out, 1, 2)

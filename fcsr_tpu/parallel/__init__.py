@@ -1,0 +1,5 @@
+from fcsr_tpu.parallel.mesh import (  # noqa: F401
+    batch_mesh,
+    make_sharded_batch_step,
+    shard_batch,
+)

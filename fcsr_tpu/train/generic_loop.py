@@ -1,0 +1,183 @@
+"""Generic batched training loop (MLP & friends).
+
+Replicates the semantics of the reference's ``train_model``
+(ref: utils/training.py:20-155): AdamW, ReduceLROnPlateau (torch
+semantics), global-norm grad clip 1.0, per-epoch validation, best-val
+checkpoint restore, early stop when lr < 1e-5.
+
+Divergence (documented): the reference's loader reports ``len = n //
+batch_size`` but iterates ceil(n / batch_size) batches, so its logged
+average loss is slightly inflated (ref: utils/data.py:77-86 vs
+utils/training.py:110); we average over the true batch count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["PlateauScheduler", "TrainState", "train_model", "mse_criterion"]
+
+
+class PlateauScheduler:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau (mode='min') semantics:
+    relative-threshold improvement tracking, patience epochs, multiplicative
+    factor decay (ref defaults: utils/training.py:70-72 — patience=10;
+    unet variant: threshold=1e-2, factor=0.1)."""
+
+    def __init__(self, lr: float, patience: int = 10, factor: float = 0.1,
+                 threshold: float = 1e-4, threshold_mode: str = "rel",
+                 min_lr: float = 0.0):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.threshold_mode = threshold_mode
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def _is_better(self, metric: float) -> bool:
+        if self.threshold_mode == "rel":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric < self.best - self.threshold
+
+    def step(self, metric: float) -> float:
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad = 0
+        return self.lr
+
+
+@dataclass
+class TrainState:
+    variables: dict          # {'params', optional 'batch_stats', ...}
+    opt_state: optax.OptState
+
+
+def mse_criterion(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
+    @jax.jit
+    def train_step(variables, opt_state, lr_b, hr_b, dropout_key):
+        params = variables["params"]
+        aux_cols = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            outs = model.apply({"params": params, **aux_cols}, lr_b,
+                               train=True, mutable=list(mutable_cols),
+                               rngs={"dropout": dropout_key})
+            pred, new_aux = outs
+            return criterion(pred, hr_b), new_aux
+
+        (loss, new_aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, **new_aux}, opt_state, loss
+
+    @jax.jit
+    def eval_step(variables, lr_b, hr_b):
+        pred = model.apply(variables, lr_b, train=False)
+        return criterion(pred, hr_b), pred
+
+    return train_step, eval_step
+
+
+def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
+                num_epochs: int = 100, lr: float = 0.01,
+                batch_size: int = 32, validate_every: int = 1,
+                patience: int = 10, plateau_threshold: float = 1e-4,
+                plateau_factor: float = 0.1, clip_norm: float = 1.0,
+                weight_decay: float = 0.01,
+                criterion: Callable = mse_criterion,
+                min_lr_stop: float = 1e-5, seed: int = 0,
+                verbose: bool = False):
+    """Train a batched flax model; returns
+    (train_hist, val_hist, lr_hist, best_variables) with the model's best
+    validation state restored, mirroring the reference's return contract
+    (ref: utils/training.py:151-155)."""
+    lr_train = np.asarray(lr_train, dtype=np.float32)
+    hr_train = np.asarray(hr_train, dtype=np.float32)
+    lr_val = jnp.asarray(lr_val, dtype=jnp.float32)
+    hr_val = jnp.asarray(hr_val, dtype=jnp.float32)
+
+    mutable_cols = tuple(k for k in variables if k != "params")
+
+    scheduler = PlateauScheduler(lr, patience=patience,
+                                 factor=plateau_factor,
+                                 threshold=plateau_threshold)
+
+    def build_tx(cur_lr):
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.adamw(learning_rate=cur_lr, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=weight_decay))
+
+    cur_lr = lr
+    tx = build_tx(cur_lr)
+    opt_state = tx.init(variables["params"])
+    train_step, eval_step = _make_step_fns(model, tx, criterion,
+                                           mutable_cols)
+
+    n = len(lr_train)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    train_hist, val_hist, lr_hist = [], [], []
+    best_val = float("inf")
+    best_variables = None
+
+    for epoch in range(num_epochs):
+        order = rng.permutation(n)
+        epoch_losses = []
+        for lo in range(0, n, batch_size):
+            idx = order[lo:lo + batch_size]
+            key, sub = jax.random.split(key)
+            variables, opt_state, loss = train_step(
+                variables, opt_state, jnp.asarray(lr_train[idx]),
+                jnp.asarray(hr_train[idx]), sub)
+            epoch_losses.append(float(loss))
+        train_hist.append(float(np.mean(epoch_losses)))
+
+        if (epoch + 1) % validate_every == 0 or (epoch + 1) == num_epochs:
+            vloss, _ = eval_step(variables, lr_val, hr_val)
+            vloss = float(vloss)
+            val_hist.append(vloss)
+            new_lr = scheduler.step(vloss)
+            if new_lr != cur_lr:
+                # plateau fired: rebuild optimizer at the decayed lr but
+                # keep its state (torch mutates lr in-place, same effect)
+                cur_lr = new_lr
+                tx = build_tx(cur_lr)
+                train_step, eval_step = _make_step_fns(
+                    model, tx, criterion, mutable_cols)
+            lr_hist.append(cur_lr)
+
+            if vloss < best_val:
+                best_val = vloss
+                best_variables = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x), variables)
+            if cur_lr < min_lr_stop:
+                break
+        if verbose:
+            print(f"epoch {epoch + 1}: train {train_hist[-1]:.6f} "
+                  f"val {val_hist[-1] if val_hist else float('nan'):.6f} "
+                  f"lr {cur_lr:.2e}")
+
+    if best_variables is not None:
+        variables = jax.tree_util.tree_map(jnp.asarray, best_variables)
+    return train_hist, val_hist, lr_hist, variables
