@@ -1,0 +1,204 @@
+"""Training loop for the GAT Graph-U-Net family
+(ref: unet-transformer.py:54-197, 478-541).
+
+TPU restructuring mirrors the GSR loop: the per-sample (batch size 1)
+Python loop becomes a jitted ``lax.scan`` over a shuffled index plan, and
+the SVD node features — pure data (ref: unet-transformer.py:313-317,329) —
+are precomputed batched instead of re-decomposed every forward.
+
+Fixed reference bug (documented divergence): best-model selection used
+``val_loss > best_val_loss`` (ref: unet-transformer.py:182), which keeps the
+WORST epoch; we keep the best.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fcsr_tpu.core.normalize import symmetric_normalize
+from fcsr_tpu.models.gat_unet import GATGraphUnet, svd_node_features
+from fcsr_tpu.train.generic_loop import PlateauScheduler
+from fcsr_tpu.train.losses import intermediate_recon_loss, offdiag_mse_loss
+
+__all__ = ["GATTrainConfig", "init_gat", "precompute_gat_features",
+           "train_gat", "predict_gat", "unet_loss"]
+
+
+@dataclass(frozen=True)
+class GATTrainConfig:
+    """The shipped unet-transformer run (ref: unet-transformer.py:503-524)."""
+    ks: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    n_nodes: int = 160
+    m_nodes: int = 268
+    dim: int = 16
+    heads: int = 4
+    drop_p: float = 0.01
+    skip: bool = False
+    epochs: int = 100
+    lr: float = 1e-3
+    patience: int = 10
+    plateau_threshold: float = 1e-2
+    plateau_factor: float = 0.1
+    intermediate_losses: bool = True
+    weight_decay: float = 0.01
+
+    def model(self) -> GATGraphUnet:
+        return GATGraphUnet(ks=self.ks, n_nodes=self.n_nodes,
+                            m_nodes=self.m_nodes, dim=self.dim,
+                            heads=self.heads, drop_p=self.drop_p,
+                            skip=self.skip)
+
+
+def init_gat(cfg: GATTrainConfig, key: jax.Array):
+    model = cfg.model()
+    dummy = jnp.eye(cfg.n_nodes, dtype=jnp.float32) * 0.5
+    k_init, k_drop = jax.random.split(key)
+    variables = model.init({"params": k_init, "dropout": k_drop}, dummy)
+    tx = optax.adamw(cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=cfg.weight_decay)
+    opt_state = tx.init(variables["params"])
+    return model, variables, tx, opt_state
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def precompute_gat_features(lr_stack, dim: int):
+    """Batched SVD node features of the normalized (A + I) adjacencies —
+    exactly what the reference recomputes inside every forward."""
+    n = lr_stack.shape[-1]
+    a = lr_stack + jnp.eye(n, dtype=lr_stack.dtype)
+    a = symmetric_normalize(a)
+    return svd_node_features(a, dim)
+
+
+def unet_loss(pred, target, a_hist, a_recon_hist,
+              intermediate_losses: bool = True):
+    """Off-diagonal MSE + intermediate reconstruction MSEs
+    (ref: unet-transformer.py:460-475)."""
+    loss = offdiag_mse_loss(pred, target)
+    if intermediate_losses:
+        loss = loss + intermediate_recon_loss(a_hist, a_recon_hist[::-1])
+    return loss
+
+
+def _make_epoch_fn(model: GATGraphUnet, tx, cfg: GATTrainConfig):
+    def sample_loss(params, lr_m, hr_m, x_feat, drop_key):
+        pred, a_hist, a_recon = model.apply(
+            {"params": params}, lr_m, x=x_feat, train=True,
+            rngs={"dropout": drop_key})
+        return unet_loss(pred, hr_m, a_hist, a_recon,
+                         cfg.intermediate_losses)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, lr_stack, hr_stack, x_stack, order, key):
+        def step(carry, i):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(sample_loss)(
+                params, lr_stack[i], hr_stack[i], x_stack[i], sub)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            step, (params, opt_state, key), order)
+        return params, opt_state, key, jnp.mean(losses)
+
+    @jax.jit
+    def val_fn(params, lr_stack, hr_stack, x_stack):
+        def one(lr_m, hr_m, x_feat):
+            pred, a_hist, a_recon = model.apply({"params": params}, lr_m,
+                                                x=x_feat, train=False)
+            loss = unet_loss(pred, hr_m, a_hist, a_recon,
+                             cfg.intermediate_losses)
+            n = pred.shape[0]
+            off = 1.0 - jnp.eye(n, dtype=pred.dtype)
+            mae = jnp.mean(jnp.abs(pred * off - hr_m * off))
+            return loss, mae
+
+        losses, maes = jax.vmap(one)(lr_stack, hr_stack, x_stack)
+        return jnp.mean(losses), jnp.mean(maes)
+
+    return epoch_fn, val_fn
+
+
+def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
+              lr_train, hr_train, lr_val, hr_val, seed: int = 0,
+              verbose: bool = False):
+    """Full training run with per-epoch validation, plateau LR decay,
+    best-state restore, early stop at lr < 1e-5
+    (ref: unet-transformer.py:113-197)."""
+    lr_train = jnp.asarray(lr_train, dtype=jnp.float32)
+    hr_train = jnp.asarray(hr_train, dtype=jnp.float32)
+    lr_val = jnp.asarray(lr_val, dtype=jnp.float32)
+    hr_val = jnp.asarray(hr_val, dtype=jnp.float32)
+    x_train = precompute_gat_features(lr_train, dim=cfg.dim)
+    x_val = precompute_gat_features(lr_val, dim=cfg.dim)
+
+    params = variables["params"]
+    epoch_fn, val_fn = _make_epoch_fn(model, tx, cfg)
+    scheduler = PlateauScheduler(cfg.lr, patience=cfg.patience,
+                                 factor=cfg.plateau_factor,
+                                 threshold=cfg.plateau_threshold)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    n = lr_train.shape[0]
+
+    cur_lr = cfg.lr
+    train_hist, val_hist, lr_hist = [], [], []
+    best_val = float("inf")
+    best_params = None
+
+    for epoch in range(cfg.epochs):
+        order = jnp.asarray(rng.permutation(n).astype(np.int32))
+        params, opt_state, key, tr_loss = epoch_fn(
+            params, opt_state, lr_train, hr_train, x_train, order, key)
+        train_hist.append(float(tr_loss))
+
+        v_loss, v_mae = val_fn(params, lr_val, hr_val, x_val)
+        v_loss = float(v_loss)
+        val_hist.append(v_loss)
+        new_lr = scheduler.step(v_loss)
+        if new_lr != cur_lr:
+            cur_lr = new_lr
+            tx = optax.adamw(cur_lr, b1=0.9, b2=0.999, eps=1e-8,
+                             weight_decay=cfg.weight_decay)
+            epoch_fn, val_fn = _make_epoch_fn(model, tx, cfg)
+        lr_hist.append(cur_lr)
+
+        if v_loss < best_val:  # reference bug (>) fixed here
+            best_val = v_loss
+            best_params = jax.tree_util.tree_map(np.asarray, params)
+        if verbose:
+            print(f"epoch {epoch + 1}: train {train_hist[-1]:.6f} "
+                  f"val {v_loss:.6f} val_mae {float(v_mae):.6f} "
+                  f"lr {cur_lr:.2e}")
+        if cur_lr < 1e-5:
+            break
+
+    if best_params is not None:
+        params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    return ({"params": params}, opt_state,
+            {"train": train_hist, "val": val_hist, "lr": lr_hist})
+
+
+def predict_gat(variables, model: GATGraphUnet, cfg: GATTrainConfig,
+                lr_stack):
+    """Batched inference (ref: unet-transformer.py:433-446)."""
+    lr_stack = jnp.asarray(lr_stack, dtype=jnp.float32)
+    x = precompute_gat_features(lr_stack, dim=cfg.dim)
+
+    @jax.jit
+    def fwd(lr_b, x_b):
+        def one(lr_m, x_feat):
+            pred, _, _ = model.apply(variables, lr_m, x=x_feat, train=False)
+            return pred
+        return jax.vmap(one)(lr_b, x_b)
+
+    return fwd(lr_stack, x)
