@@ -20,8 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
 
+    # Persistent compilation cache: the expensive XLA compiles happen once
+    # per machine, not once per bench run.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/fcsr_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from fcsr_tpu.data import load_or_synthesize
-    from fcsr_tpu.pipelines import run_gsr_cv
+    from fcsr_tpu.pipelines import run_gsr_cv_fast
     from fcsr_tpu.train import GSRTrainConfig
 
     data = load_or_synthesize(os.environ.get("FCSR_DATA_DIR", "data"),
@@ -30,14 +38,8 @@ def main():
     cfg = GSRTrainConfig()  # reference config: 200 epochs, lr 1e-4
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
 
-    # Warmup/compile pass on a tiny slice so the timed run measures steady
-    # state (first XLA compile is ~20-40s and cached afterwards).
-    warm = {k: v[:8] if v is not None else None for k, v in data.items()}
-    warm_cfg = GSRTrainConfig(epochs=2)
-    run_gsr_cv(warm, warm_cfg, splits=2, full_metrics=False)
-
     t0 = time.perf_counter()
-    result = run_gsr_cv(data, cfg, splits=splits, full_metrics=False)
+    result = run_gsr_cv_fast(data, cfg, splits=splits, full_metrics=False)
     elapsed = time.perf_counter() - t0
 
     work = result["n_train_steps"] + result["n_eval_forwards"]

@@ -18,7 +18,66 @@ from fcsr_tpu.train.gsr_loop import (
     train_gsr_fold,
 )
 
-__all__ = ["run_gsr_cv"]
+__all__ = ["run_gsr_cv", "run_gsr_cv_fast"]
+
+
+def run_gsr_cv_fast(data: Dict[str, np.ndarray],
+                    cfg: Optional[GSRTrainConfig] = None,
+                    splits: int = 3, seed: int = 42, init_seed: int = 0,
+                    full_metrics: bool = False,
+                    eval_backend: str = "device"):
+    """Performance path: clean-CV (fresh model per fold) with all folds
+    trained in ONE vmapped program and a flat-vector Adam — see
+    fast_loop.py for why this is exact per-fold math, not an
+    approximation. Returns the same result dict shape as run_gsr_cv."""
+    from fcsr_tpu.train.fast_loop import (evaluate_gsr_folds,
+                                          train_gsr_folds_parallel)
+
+    cfg = cfg or GSRTrainConfig()
+    lr_all = np.asarray(data["lr_train"], dtype=np.float32)
+    hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    folds = kfold_indices(len(lr_all), splits, seed=seed)
+
+    t0 = time.perf_counter()
+    model, params_per_fold, loss_hist, err_hist, spectral = \
+        train_gsr_folds_parallel(cfg, lr_all, hr_all, folds,
+                                 init_seed=init_seed)
+    t_train = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    fold_maes, fold_outs = evaluate_gsr_folds(cfg, params_per_fold, lr_all,
+                                              hr_all, folds, spectral)
+    t_eval = time.perf_counter() - t0
+
+    fold_metrics = []
+    if full_metrics:
+        from fcsr_tpu.evalx.report import print_metrics
+        for j, (preds, gts) in enumerate(fold_outs):
+            fold_metrics.append(print_metrics(gts, preds, fold_i=j,
+                                              backend=eval_backend,
+                                              write_file=False,
+                                              verbose=False))
+
+    test_preds = None
+    if data.get("lr_test") is not None:
+        from fcsr_tpu.train.gsr_loop import predict_gsr
+        test_preds = np.asarray(predict_gsr(params_per_fold[-1], model,
+                                            cfg, data["lr_test"]))
+
+    return {
+        "fold_maes": fold_maes,
+        "mean_mae": float(np.mean(fold_maes)),
+        "fold_metrics": fold_metrics,
+        "params": params_per_fold[-1],
+        "params_per_fold": params_per_fold,
+        "model": model,
+        "cfg": cfg,
+        "test_preds": test_preds,
+        "loss_hist": loss_hist,
+        "timings": {"train": t_train, "eval": t_eval},
+        "n_train_steps": sum(len(tr) for tr, _ in folds) * cfg.epochs,
+        "n_eval_forwards": sum(len(va) for _, va in folds),
+    }
 
 
 def run_gsr_cv(data: Dict[str, np.ndarray],
