@@ -41,16 +41,28 @@ def test_fast_matches_parity_per_fold():
         np.testing.assert_allclose(loss_hist[j], hist["loss"], atol=1e-5)
 
 
-def test_fast_eval_matches_parity_eval():
-    from fcsr_tpu.train import evaluate_gsr
+def test_fast_eval_matches_direct_forward():
+    """Batched fold eval equals per-sample forwards with the SAME
+    precomputed eigenbasis. (GSRNet output is NOT invariant to eigenvector
+    sign flips, and eigh of the same matrix can differ in sign across
+    batch contexts — so the comparison must share u_lr.)"""
+    import jax.numpy as jnp
     lr, hr = _small_data()
     folds = kfold_indices(9, 3, seed=42)
     model, pf, _, _, spec = train_gsr_folds_parallel(CFG, lr, hr, folds,
                                                      init_seed=0)
+    u_lr_all, _ = spec
     fold_maes, outs = evaluate_gsr_folds(CFG, pf, lr, hr, folds, spec)
     for j in range(3):
         _, va = folds[j]
-        mae_ref, preds_ref, _ = evaluate_gsr(pf[j], model, CFG,
-                                             lr[va], hr[va])
-        np.testing.assert_allclose(fold_maes[j], mae_ref, atol=1e-5)
+        preds_ref = np.stack([
+            np.asarray(model.apply(pf[j], jnp.asarray(lr[i]),
+                                   u_lr=jnp.asarray(u_lr_all[i]))[0])
+            for i in va])
+        gts = hr[va].copy()
+        for m in gts:
+            np.fill_diagonal(m, 1.0)
         np.testing.assert_allclose(outs[j][0], preds_ref, atol=1e-5)
+        np.testing.assert_allclose(fold_maes[j],
+                                   np.abs(preds_ref - gts).mean(),
+                                   atol=1e-5)
