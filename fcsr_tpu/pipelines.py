@@ -18,7 +18,105 @@ from fcsr_tpu.train.gsr_loop import (
     train_gsr_fold,
 )
 
-__all__ = ["run_gsr_cv", "run_gsr_cv_fast"]
+__all__ = ["run_gsr_cv", "run_gsr_cv_fast", "run_mlp_cv", "run_gat_cv"]
+
+
+def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
+               p_val: float = 0.33, num_epochs: int = 100, lr: float = 0.01,
+               batch_size: int = 32, n_layers: int = 0,
+               hidden: Optional[int] = None, seed: int = 42,
+               full_metrics: bool = False, eval_backend: str = "device",
+               verbose: bool = False):
+    """SpectralResMLP k-fold pipeline (ref: training_template.ipynb):
+    contiguous-window folds over one permutation, MSE + AdamW + plateau LR,
+    best-state restore, per-fold metrics, final test predictions."""
+    from fcsr_tpu.data.datamodule import contiguous_window_folds
+    from fcsr_tpu.models.mlp import SpectralResMLP
+    from fcsr_tpu.train.generic_loop import mse_criterion, train_model
+
+    lr_all = np.asarray(data["lr_train"], dtype=np.float32)
+    hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    n_in = lr_all.shape[-1]
+    n_out = hr_all.shape[-1]
+    hidden = hidden or (n_in + n_out) // 2
+    folds = contiguous_window_folds(len(lr_all), k_folds, p_val, seed=seed)
+
+    fold_metrics, fold_losses = [], []
+    best = None
+    model = SpectralResMLP(num_nodes_input=n_in, num_nodes_output=n_out,
+                           num_hidden=hidden, n_layers=n_layers)
+    for j, (tr, va) in enumerate(folds):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed + j),
+             "dropout": jax.random.PRNGKey(seed + 100 + j)},
+            np.zeros((2, n_in, n_in), dtype=np.float32))
+        tr_h, va_h, lr_h, variables = train_model(
+            model, variables, lr_all[tr], hr_all[tr], lr_all[va],
+            hr_all[va], num_epochs=num_epochs, lr=lr,
+            batch_size=batch_size, criterion=mse_criterion, seed=seed + j,
+            verbose=verbose)
+        fold_losses.append((tr_h, va_h, lr_h))
+        import jax.numpy as jnp
+        preds = np.asarray(model.apply(variables, jnp.asarray(lr_all[va]),
+                                       train=False))
+        if full_metrics:
+            from fcsr_tpu.evalx.report import print_metrics
+            fold_metrics.append(print_metrics(hr_all[va], preds, fold_i=j,
+                                              backend=eval_backend,
+                                              write_file=False,
+                                              verbose=verbose))
+        best = variables
+
+    test_preds = None
+    if data.get("lr_test") is not None:
+        import jax.numpy as jnp
+        test_preds = np.asarray(model.apply(
+            best, jnp.asarray(np.asarray(data["lr_test"],
+                                         dtype=np.float32)), train=False))
+    return {"model": model, "variables": best, "fold_metrics": fold_metrics,
+            "histories": fold_losses, "test_preds": test_preds}
+
+
+def run_gat_cv(data: Dict[str, np.ndarray], splits: int = 3,
+               seed: int = 42, cfg=None, full_metrics: bool = False,
+               eval_backend: str = "device", verbose: bool = False):
+    """GAT Graph-U-Net 3-fold pipeline
+    (ref: unet-transformer.py:478-541): sklearn KFold(shuffle, seed 42),
+    fresh model per fold, intermediate-loss training, per-fold metrics."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.gat_loop import (GATTrainConfig, init_gat,
+                                         predict_gat, train_gat)
+
+    cfg = cfg or GATTrainConfig()
+    lr_all = np.asarray(data["lr_train"], dtype=np.float32)
+    hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    folds = kfold_indices(len(lr_all), splits, seed=seed)
+
+    fold_metrics, histories = [], []
+    variables = model = None
+    for j, (tr, va) in enumerate(folds):
+        model, variables, tx, opt = init_gat(cfg,
+                                             jax.random.PRNGKey(seed + j))
+        variables, opt, hist = train_gat(variables, opt, model, tx, cfg,
+                                         lr_all[tr], hr_all[tr],
+                                         lr_all[va], hr_all[va],
+                                         seed=seed + j, verbose=verbose)
+        histories.append(hist)
+        preds = np.asarray(predict_gat(variables, model, cfg, lr_all[va]))
+        if full_metrics:
+            from fcsr_tpu.evalx.report import print_metrics
+            fold_metrics.append(print_metrics(hr_all[va], preds, fold_i=j,
+                                              backend=eval_backend,
+                                              write_file=False,
+                                              verbose=verbose))
+
+    test_preds = None
+    if data.get("lr_test") is not None and variables is not None:
+        test_preds = np.asarray(predict_gat(variables, model, cfg,
+                                            data["lr_test"]))
+    return {"model": model, "variables": variables, "cfg": cfg,
+            "fold_metrics": fold_metrics, "histories": histories,
+            "test_preds": test_preds}
 
 
 def run_gsr_cv_fast(data: Dict[str, np.ndarray],
