@@ -137,14 +137,14 @@ def run_gsr_cv_fast(data: Dict[str, np.ndarray],
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
     t0 = time.perf_counter()
-    model, params_per_fold, loss_hist, err_hist, spectral = \
+    model, params_per_fold, loss_hist, err_hist, runner = \
         train_gsr_folds_parallel(cfg, lr_all, hr_all, folds,
                                  init_seed=init_seed)
     t_train = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    fold_maes, fold_outs = evaluate_gsr_folds(cfg, params_per_fold, lr_all,
-                                              hr_all, folds, spectral)
+    fold_maes, fold_outs = evaluate_gsr_folds(cfg, runner,
+                                              pull_preds=full_metrics)
     t_eval = time.perf_counter() - t0
 
     fold_metrics = []
@@ -168,6 +168,7 @@ def run_gsr_cv_fast(data: Dict[str, np.ndarray],
         "fold_metrics": fold_metrics,
         "params": params_per_fold[-1],
         "params_per_fold": params_per_fold,
+        "runner": runner,
         "model": model,
         "cfg": cfg,
         "test_preds": test_preds,

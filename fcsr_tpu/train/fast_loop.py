@@ -1,40 +1,46 @@
-"""Performance GSR trainer: fold-parallel, flat-parameter Adam.
+"""Performance GSR trainer: fold-parallel, flat-parameter Adam,
+device-resident data.
 
 The parity trainer (gsr_loop) replicates the reference's per-sample
 sequential Adam exactly but is op-dispatch-bound on TPU: each step is ~250
-small ops over (<=268)-sized tensors. Two exact-math restructurings fix
+small ops over (<=268)-sized tensors. Three exact-math restructurings fix
 that without touching per-fold training dynamics:
 
   * **Fold parallelism** — k-fold CV trains k independent models (one per
-    fold, fresh init: the clean-CV semantics of ``reset_per_fold=True``).
-    All folds execute as ONE vmapped program: same op count, k x the work
-    per op, so the fixed per-op overhead is amortized k-fold. Folds with
-    fewer samples pad their per-epoch sample sequence with masked no-op
-    steps, preserving each fold's exact update sequence.
+    fold, fresh init: clean-CV semantics). All folds execute as ONE
+    vmapped program: same op count, k x the work per op, so fixed per-op
+    overhead is amortized k-fold. Shorter folds pad their per-epoch sample
+    sequence with masked no-op steps, preserving each fold's exact update
+    sequence.
   * **Flat Adam** — parameters/grads are raveled into a single vector so
     the Adam update is one fused elementwise chain instead of ~4 ops per
     parameter leaf (the optimizer trajectory is identical).
+  * **On-device fold gathering** — the dataset ships to HBM once (flat-
+    staged, see utils/transfer.py); per-fold sample selection is an integer
+    gather inside the compiled program, so no fold-expanded copies ever
+    cross the host<->device link.
 
 Per-fold numerical trajectory matches the parity trainer's
-reset-per-fold mode up to float reassociation.
+reset-per-fold mode up to float reassociation (verified in tests).
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Tuple
+from functools import lru_cache
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.flatten_util import ravel_pytree
 
-from fcsr_tpu.core.normalize import unpad
+from fcsr_tpu.core.normalize import fill_diagonal, unpad
 from fcsr_tpu.train.gsr_loop import GSRTrainConfig, precompute_spectral
 from fcsr_tpu.train.losses import gsr_composite_loss
+from fcsr_tpu.utils.transfer import device_put_fast
 
-__all__ = ["train_gsr_folds_parallel", "evaluate_gsr_folds",
-           "adam_flat_update"]
+__all__ = ["stage_dataset", "train_gsr_folds_parallel",
+           "evaluate_gsr_folds", "adam_flat_update", "GSRFoldRunner"]
 
 
 def adam_flat_update(g, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
@@ -48,9 +54,10 @@ def adam_flat_update(g, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
 
 
 @lru_cache(maxsize=8)
-def _build_fold_trainer(cfg: GSRTrainConfig, n_folds: int, max_len: int):
+def _build_programs(cfg: GSRTrainConfig):
+    """Compiled train / eval programs, cached per config. Both take the
+    WHOLE dataset plus per-fold index plans and gather on device."""
     model = cfg.model()
-    # template init only for structure; real init params are passed in
     dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy)
     _, unravel = ravel_pytree(template)
@@ -65,44 +72,132 @@ def _build_fold_trainer(cfg: GSRTrainConfig, n_folds: int, max_len: int):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def fold_train(flat_params, lr_stack, hr_stack, u_lr, u_hr, valid):
-        """One fold's full training run; lr_stack etc. are padded to
-        max_len with `valid` masking the padding steps."""
-        m0 = jnp.zeros_like(flat_params)
-        v0 = jnp.zeros_like(flat_params)
+    @jax.jit
+    def train_all(flat_params_f, lr_all, hr_all, u_lr_all, u_hr_all,
+                  idxs_f, valid_f):
+        def fold_train(flat_params, idx, valid):
+            m0 = jnp.zeros_like(flat_params)
+            v0 = jnp.zeros_like(flat_params)
 
-        def sample_step(carry, batch):
-            p, m, v, t = carry
-            lr_m, hr_m, u_l, u_h, ok = batch
-            (loss, err), g = grad_fn(p, lr_m, hr_m, u_l, u_h)
-            okf = ok.astype(p.dtype)
-            t_new = t + okf
-            step, m_new, v_new = adam_flat_update(g, m, v,
-                                                  jnp.maximum(t_new, 1.0),
-                                                  cfg.lr)
-            p = p - okf * step
-            m = jnp.where(ok, m_new, m)
-            v = jnp.where(ok, v_new, v)
-            return (p, m, v, t_new), (loss * okf, err * okf)
+            def sample_step(carry, batch):
+                p, m, v, t = carry
+                i, ok = batch
+                (loss, err), g = grad_fn(p, lr_all[i], hr_all[i],
+                                         u_lr_all[i], u_hr_all[i])
+                okf = ok.astype(p.dtype)
+                t_new = t + okf
+                step, m_new, v_new = adam_flat_update(
+                    g, m, v, jnp.maximum(t_new, 1.0), cfg.lr)
+                p = p - okf * step
+                m = jnp.where(ok > 0, m_new, m)
+                v = jnp.where(ok > 0, v_new, v)
+                return (p, m, v, t_new), (loss * okf, err * okf)
 
-        def epoch(carry, _):
-            carry, (losses, errs) = jax.lax.scan(
-                sample_step, carry,
-                (lr_stack, hr_stack, u_lr, u_hr, valid))
-            denom = jnp.maximum(valid.sum(), 1.0)
-            return carry, (jnp.sum(losses) / denom, jnp.sum(errs) / denom)
+            def epoch(carry, _):
+                carry, (losses, errs) = jax.lax.scan(sample_step, carry,
+                                                     (idx, valid))
+                denom = jnp.maximum(valid.sum(), 1.0)
+                return carry, (jnp.sum(losses) / denom,
+                               jnp.sum(errs) / denom)
 
-        (p, m, v, t), (loss_hist, err_hist) = jax.lax.scan(
-            epoch, (flat_params, m0, v0, jnp.float32(0.0)), None,
-            length=cfg.epochs)
-        return p, loss_hist, err_hist
+            (p, m, v, t), (loss_hist, err_hist) = jax.lax.scan(
+                epoch, (flat_params, m0, v0, jnp.float32(0.0)), None,
+                length=cfg.epochs)
+            return p, loss_hist, err_hist
+
+        return jax.vmap(fold_train, in_axes=(0, 0, 0))(
+            flat_params_f, idxs_f, valid_f)
 
     @jax.jit
-    def train_all(flat_params_f, lr_f, hr_f, u_lr_f, u_hr_f, valid_f):
-        return jax.vmap(fold_train)(flat_params_f, lr_f, hr_f, u_lr_f,
-                                    u_hr_f, valid_f)
+    def eval_all(flat_params_f, lr_all, hr_all, u_lr_all, idxs_f, valid_f):
+        def fold_eval(flat_params, idx, valid):
+            params = unravel(flat_params)
 
-    return model, template, unravel, train_all
+            def one(i):
+                pred, _, _, _ = model.apply(params, lr_all[i],
+                                            u_lr=u_lr_all[i])
+                pred = unpad(pred, cfg.padding)
+                gt = fill_diagonal(hr_all[i], 1.0)
+                return jnp.mean(jnp.abs(pred - gt)), pred
+
+            maes, preds = jax.vmap(one)(idx)
+            mae = jnp.sum(maes * valid) / jnp.maximum(valid.sum(), 1.0)
+            return mae, preds
+
+        return jax.vmap(fold_eval, in_axes=(0, 0, 0))(
+            flat_params_f, idxs_f, valid_f)
+
+    return model, template, unravel, train_all, eval_all
+
+
+def _pad_plans(folds, which: int, pad_to: int = None):
+    """(F, L) padded index + validity arrays for fold element ``which``
+    (0 = train indices, 1 = val indices)."""
+    sets = [np.asarray(f[which], dtype=np.int32) for f in folds]
+    max_len = pad_to or max(len(s) for s in sets)
+    idxs, valids = [], []
+    for s in sets:
+        pad = max_len - len(s)
+        idxs.append(np.concatenate([s, np.zeros(pad, np.int32)]))
+        valids.append(np.concatenate([np.ones(len(s), np.float32),
+                                      np.zeros(pad, np.float32)]))
+    return np.stack(idxs), np.stack(valids)
+
+
+def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all):
+    """Host-side spectral precompute + one-shot flat-staged transfer of
+    the full dataset to HBM. Returns device-resident arrays."""
+    lr_np = np.asarray(lr_all, dtype=np.float32)
+    hr_np = np.asarray(hr_all, dtype=np.float32)
+    u_lr, u_hr = precompute_spectral(lr_np, hr_np, lr_dim=cfg.lr_dim,
+                                     padding=cfg.padding)
+    return (device_put_fast(lr_np), device_put_fast(hr_np),
+            device_put_fast(np.asarray(u_lr)),
+            device_put_fast(np.asarray(u_hr)))
+
+
+class GSRFoldRunner:
+    """Stateful convenience wrapper: stage once, train/eval many times
+    (keeps everything device-resident between calls — the layout a bench
+    or a hyperparameter sweep wants)."""
+
+    def __init__(self, cfg: GSRTrainConfig, lr_all, hr_all, folds,
+                 init_seed: int = 0):
+        self.cfg = cfg
+        self.folds = folds
+        (self.model, self.template, self.unravel, self._train_all,
+         self._eval_all) = _build_programs(cfg)
+        self.data = stage_dataset(cfg, lr_all, hr_all)
+        self.tr_idx, self.tr_valid = _pad_plans(folds, 0)
+        self.va_idx, self.va_valid = _pad_plans(folds, 1)
+        flats = []
+        for j in range(len(folds)):
+            p = cfg.model().init(jax.random.PRNGKey(init_seed + j),
+                                 jnp.eye(cfg.lr_dim, dtype=jnp.float32))
+            flats.append(ravel_pytree(p)[0])
+        self.flat0 = jnp.stack(flats)
+        self.flat_trained = None
+
+    def train(self):
+        lr_all, hr_all, u_lr, u_hr = self.data
+        p_f, loss_hist, err_hist = self._train_all(
+            self.flat0, lr_all, hr_all, u_lr, u_hr,
+            jnp.asarray(self.tr_idx), jnp.asarray(self.tr_valid))
+        self.flat_trained = p_f
+        return p_f, loss_hist, err_hist
+
+    def evaluate(self, flat_params_f=None):
+        if flat_params_f is None:
+            flat_params_f = self.flat_trained
+        lr_all, hr_all, u_lr, _ = self.data
+        maes, preds = self._eval_all(flat_params_f, lr_all, hr_all, u_lr,
+                                     jnp.asarray(self.va_idx),
+                                     jnp.asarray(self.va_valid))
+        return maes, preds
+
+    def params_per_fold(self) -> List[dict]:
+        return [self.unravel(self.flat_trained[j])
+                for j in range(len(self.folds))]
 
 
 def train_gsr_folds_parallel(cfg: GSRTrainConfig, lr_all, hr_all, folds,
@@ -110,110 +205,35 @@ def train_gsr_folds_parallel(cfg: GSRTrainConfig, lr_all, hr_all, folds,
     """Train one fresh GSR-Net per fold, all folds in parallel.
 
     Returns (model, per-fold params list, loss_hist (F, epochs),
-    err_hist (F, epochs), spectral arrays for reuse in eval).
+    err_hist (F, epochs), runner) — the runner keeps device-resident state
+    for follow-up evaluation.
     """
-    lr_all = np.asarray(lr_all, dtype=np.float32)
-    hr_all = np.asarray(hr_all, dtype=np.float32)
-    n_folds = len(folds)
-    max_len = max(len(tr) for tr, _ in folds)
-
-    model, template, unravel, train_all = _build_fold_trainer(
-        cfg, n_folds, max_len)
-
-    u_lr_all, u_hr_all = precompute_spectral(
-        jnp.asarray(lr_all), jnp.asarray(hr_all), lr_dim=cfg.lr_dim,
-        padding=cfg.padding)
-    u_lr_all = np.asarray(u_lr_all)
-    u_hr_all = np.asarray(u_hr_all)
-
-    # per-fold padded index plans
-    def pad_idx(tr):
-        idx = np.asarray(tr, dtype=np.int64)
-        pad = max_len - len(idx)
-        valid = np.concatenate([np.ones(len(idx), np.float32),
-                                np.zeros(pad, np.float32)])
-        idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-        return idx, valid
-
-    idxs, valids = zip(*(pad_idx(tr) for tr, _ in folds))
-    idxs = np.stack(idxs)
-    valids = np.stack(valids)
-
-    lr_f = lr_all[idxs]
-    hr_f = hr_all[idxs]
-    u_lr_f = u_lr_all[idxs]
-    u_hr_f = u_hr_all[idxs]
-
-    # fresh init per fold
-    flats = []
-    for j in range(n_folds):
-        p = cfg.model().init(jax.random.PRNGKey(init_seed + j),
-                             jnp.eye(cfg.lr_dim, dtype=jnp.float32))
-        flats.append(ravel_pytree(p)[0])
-    flat_f = jnp.stack(flats)
-
-    p_f, loss_hist, err_hist = train_all(flat_f, lr_f, hr_f, u_lr_f,
-                                         u_hr_f, jnp.asarray(valids))
-    params_per_fold = [unravel(p_f[j]) for j in range(n_folds)]
-    return (model, params_per_fold, np.asarray(loss_hist),
-            np.asarray(err_hist), (u_lr_all, u_hr_all))
+    runner = GSRFoldRunner(cfg, lr_all, hr_all, folds, init_seed=init_seed)
+    p_f, loss_hist, err_hist = runner.train()
+    return (runner.model, runner.params_per_fold(), np.asarray(loss_hist),
+            np.asarray(err_hist), runner)
 
 
-@lru_cache(maxsize=8)
-def _build_fold_predict(cfg: GSRTrainConfig):
-    model = cfg.model()
-    dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-    template = model.init(jax.random.PRNGKey(0), dummy)
-    _, unravel = ravel_pytree(template)
-
-    @jax.jit
-    def predict_all(flat_params_f, lr_f, u_lr_f):
-        def fold(flat_params, lr_stack, u_lr):
-            params = unravel(flat_params)
-
-            def one(lr_m, u):
-                pred, _, _, _ = model.apply(params, lr_m, u_lr=u)
-                return unpad(pred, cfg.padding)
-
-            return jax.vmap(one)(lr_stack, u_lr)
-
-        return jax.vmap(fold)(flat_params_f, lr_f, u_lr_f)
-
-    return unravel, predict_all
-
-
-def evaluate_gsr_folds(cfg: GSRTrainConfig, params_per_fold, lr_all, hr_all,
-                       folds, spectral):
-    """All folds' validation passes in one padded vmapped call.
+def evaluate_gsr_folds(cfg: GSRTrainConfig, runner: GSRFoldRunner,
+                       pull_preds: bool = True):
+    """All folds' validation passes in one vmapped call.
 
     Mirrors the reference test() semantics (HR diagonal set to 1 before
-    comparing, ref: utils/gsr_train.py:70) and returns (fold_maes,
-    per-fold (preds, gts) lists).
+    comparing, ref: utils/gsr_train.py:70). Returns (fold_maes,
+    per-fold (preds, gts) lists — empty unless ``pull_preds``).
     """
-    u_lr_all, _ = spectral
-    lr_all = np.asarray(lr_all, dtype=np.float32)
-    hr_all = np.asarray(hr_all, dtype=np.float32)
-    max_v = max(len(va) for _, va in folds)
-
-    def pad_idx(va):
-        idx = np.asarray(va, dtype=np.int64)
-        pad = max_v - len(idx)
-        return np.concatenate([idx, np.zeros(pad, np.int64)]), len(idx)
-
-    idxs, lens = zip(*(pad_idx(va) for _, va in folds))
-    idxs = np.stack(idxs)
-
-    _, predict_all = _build_fold_predict(cfg)
-    flat_f = jnp.stack([ravel_pytree(p)[0] for p in params_per_fold])
-    preds_f = np.asarray(predict_all(flat_f, lr_all[idxs],
-                                     np.asarray(u_lr_all)[idxs]))
-
-    fold_maes, outs = [], []
-    for j, (_, va) in enumerate(folds):
-        preds = preds_f[j, :lens[j]]
-        gts = hr_all[np.asarray(va)].copy()
-        for m in gts:
-            np.fill_diagonal(m, 1.0)
-        fold_maes.append(float(np.abs(preds - gts).mean()))
-        outs.append((preds, gts))
+    maes_d, preds_d = runner.evaluate()
+    fold_maes = [float(m) for m in np.asarray(maes_d)]
+    outs = []
+    if pull_preds:
+        from fcsr_tpu.utils.transfer import to_host
+        preds_np = to_host(preds_d)
+        hr_np = to_host(runner.data[1])
+        for j, (_, va) in enumerate(runner.folds):
+            n_va = len(va)
+            preds = preds_np[j, :n_va]
+            gts = hr_np[np.asarray(va)].copy()
+            for m in gts:
+                np.fill_diagonal(m, 1.0)
+            outs.append((preds, gts))
     return fold_maes, outs

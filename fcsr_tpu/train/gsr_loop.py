@@ -58,9 +58,8 @@ def init_gsr(cfg: GSRTrainConfig, key: jax.Array):
     return model, params, tx, opt_state
 
 
-@partial(jax.jit, static_argnames=("lr_dim", "padding"))
 def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
-                        padding: int = 0):
+                        padding: int = 0, device: bool = False):
     """Batched eigendecompositions hoisted out of the train loop.
 
     Returns (u_lr, u_hr_reduced):
@@ -70,12 +69,40 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
                       label (the spectral-loss target,
                       ref: utils/gsr_train.py:33-36)
     Exact hoisting: these depend only on data, never on parameters.
+
+    Default backend is host LAPACK: this is one-shot data preprocessing
+    (~3 s for the full 167-subject set), and wrapping two batched eighs in
+    a custom jit triggers a pathological multi-minute XLA TPU compile —
+    measured 292 s vs 3 s of actual compute. ``device=True`` keeps it on
+    the accelerator via the un-nested jnp.linalg.eigh fast path.
+    Bonus: host numpy eigh uses the same LAPACK syevd backend (and thus
+    eigenvector sign conventions) as torch.linalg.eigh in the reference.
     """
-    a_norm = normalize_adj(lr_stack)
-    _, u_lr = jnp.linalg.eigh(a_norm)
-    hr_padded = pad_hr_adj(hr_stack, padding)
-    _, u_hr = jnp.linalg.eigh(hr_padded)
-    return u_lr, u_hr[..., :, :lr_dim]
+    if device:
+        a_norm = normalize_adj(lr_stack)
+        _, u_lr = jnp.linalg.eigh(a_norm)
+        hr_padded = pad_hr_adj(hr_stack, padding)
+        _, u_hr = jnp.linalg.eigh(hr_padded)
+        return u_lr, u_hr[..., :, :lr_dim]
+
+    lr_np = np.asarray(lr_stack, dtype=np.float32)
+    hr_np = np.asarray(hr_stack, dtype=np.float32)
+    rowsum = lr_np.sum(axis=-1)
+    with np.errstate(divide="ignore"):
+        r = rowsum ** -0.5
+    r[np.isinf(r)] = 0.0
+    a_norm = lr_np * r[..., None, :] * r[..., :, None]
+    _, u_lr = np.linalg.eigh(a_norm)
+
+    if padding:
+        hr_np = np.pad(hr_np, ((0, 0), (padding, padding),
+                               (padding, padding)))
+    else:
+        hr_np = hr_np.copy()
+    n = hr_np.shape[-1]
+    hr_np[:, np.arange(n), np.arange(n)] = 1.0
+    _, u_hr = np.linalg.eigh(hr_np)
+    return jnp.asarray(u_lr), jnp.asarray(u_hr[..., :, :lr_dim])
 
 
 def _loss_fn(params, model: GSRNet, lr, hr, u_lr, u_hr_red,

@@ -29,7 +29,7 @@ def _small_data():
 def test_fast_matches_parity_per_fold():
     lr, hr = _small_data()
     folds = kfold_indices(9, 3, seed=42)
-    model, pf, loss_hist, err_hist, spec = train_gsr_folds_parallel(
+    model, pf, loss_hist, err_hist, runner = train_gsr_folds_parallel(
         CFG, lr, hr, folds, init_seed=0)
     assert loss_hist.shape == (3, CFG.epochs)
 
@@ -49,10 +49,11 @@ def test_fast_eval_matches_direct_forward():
     import jax.numpy as jnp
     lr, hr = _small_data()
     folds = kfold_indices(9, 3, seed=42)
-    model, pf, _, _, spec = train_gsr_folds_parallel(CFG, lr, hr, folds,
-                                                     init_seed=0)
-    u_lr_all, _ = spec
-    fold_maes, outs = evaluate_gsr_folds(CFG, pf, lr, hr, folds, spec)
+    model, pf, _, _, runner = train_gsr_folds_parallel(CFG, lr, hr, folds,
+                                                       init_seed=0)
+    from fcsr_tpu.utils.transfer import to_host
+    u_lr_all = to_host(runner.data[2])
+    fold_maes, outs = evaluate_gsr_folds(CFG, runner, pull_preds=True)
     for j in range(3):
         _, va = folds[j]
         preds_ref = np.stack([
