@@ -134,10 +134,11 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
     """Full training run with per-epoch validation, plateau LR decay,
     best-state restore, early stop at lr < 1e-5
     (ref: unet-transformer.py:113-197)."""
-    lr_train = jnp.asarray(lr_train, dtype=jnp.float32)
-    hr_train = jnp.asarray(hr_train, dtype=jnp.float32)
-    lr_val = jnp.asarray(lr_val, dtype=jnp.float32)
-    hr_val = jnp.asarray(hr_val, dtype=jnp.float32)
+    from fcsr_tpu.utils.transfer import device_put_fast
+    lr_train = device_put_fast(np.asarray(lr_train, dtype=np.float32))
+    hr_train = device_put_fast(np.asarray(hr_train, dtype=np.float32))
+    lr_val = device_put_fast(np.asarray(lr_val, dtype=np.float32))
+    hr_val = device_put_fast(np.asarray(hr_val, dtype=np.float32))
     x_train = precompute_gat_features(lr_train, dim=cfg.dim)
     x_val = precompute_gat_features(lr_val, dim=cfg.dim)
 
@@ -191,7 +192,8 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
 def predict_gat(variables, model: GATGraphUnet, cfg: GATTrainConfig,
                 lr_stack):
     """Batched inference (ref: unet-transformer.py:433-446)."""
-    lr_stack = jnp.asarray(lr_stack, dtype=jnp.float32)
+    from fcsr_tpu.utils.transfer import device_put_fast
+    lr_stack = device_put_fast(np.asarray(lr_stack, dtype=np.float32))
     x = precompute_gat_features(lr_stack, dim=cfg.dim)
 
     @jax.jit

@@ -102,7 +102,10 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
     n = hr_np.shape[-1]
     hr_np[:, np.arange(n), np.arange(n)] = 1.0
     _, u_hr = np.linalg.eigh(hr_np)
-    return jnp.asarray(u_lr), jnp.asarray(u_hr[..., :, :lr_dim])
+    # return HOST arrays: transferring >2-D arrays here would hit the slow
+    # tiled-relayout device_put path (see utils/transfer.py); callers stage
+    # flat via device_put_fast.
+    return u_lr, u_hr[..., :, :lr_dim]
 
 
 def _loss_fn(params, model: GSRNet, lr, hr, u_lr, u_hr_red,
@@ -151,13 +154,16 @@ def train_gsr_fold(params, opt_state, model, tx, cfg: GSRTrainConfig,
                    lr_stack, hr_stack, spectral=None, verbose: bool = False):
     """Train on one fold's stacked arrays; returns updated (params,
     opt_state, history dict)."""
-    lr_stack = jnp.asarray(lr_stack, dtype=jnp.float32)
-    hr_stack = jnp.asarray(hr_stack, dtype=jnp.float32)
+    from fcsr_tpu.utils.transfer import device_put_fast
+    lr_np = np.asarray(lr_stack, dtype=np.float32)
+    hr_np = np.asarray(hr_stack, dtype=np.float32)
     if spectral is None:
-        spectral = precompute_spectral(lr_stack, hr_stack,
-                                       lr_dim=cfg.lr_dim,
+        spectral = precompute_spectral(lr_np, hr_np, lr_dim=cfg.lr_dim,
                                        padding=cfg.padding)
-    u_lr, u_hr_red = spectral
+    u_lr, u_hr_red = (device_put_fast(np.asarray(s, dtype=np.float32))
+                      for s in spectral)
+    lr_stack = device_put_fast(lr_np)
+    hr_stack = device_put_fast(hr_np)
     train_fn = make_train_fn(model, tx, cfg)
     params, opt_state, loss_hist, err_hist = train_fn(
         params, opt_state, lr_stack, hr_stack, u_lr, u_hr_red)
@@ -179,10 +185,16 @@ def _batched_predict(params, model: GSRNet, lr_stack, u_lr, padding: int):
 
 def predict_gsr(params, model: GSRNet, cfg: GSRTrainConfig, lr_stack):
     """Batched inference over a stack of LR connectomes -> HR predictions."""
-    lr_stack = jnp.asarray(lr_stack, dtype=jnp.float32)
-    a_norm = normalize_adj(lr_stack)
-    _, u_lr = jnp.linalg.eigh(a_norm)
-    return _batched_predict(params, model, lr_stack, u_lr,
+    from fcsr_tpu.utils.transfer import device_put_fast
+    lr_np = np.asarray(lr_stack, dtype=np.float32)
+    rowsum = lr_np.sum(axis=-1)
+    with np.errstate(divide="ignore"):
+        r = rowsum ** -0.5
+    r[np.isinf(r)] = 0.0
+    a_norm = lr_np * r[..., None, :] * r[..., :, None]
+    _, u_lr = np.linalg.eigh(a_norm)
+    return _batched_predict(params, model, device_put_fast(lr_np),
+                            device_put_fast(u_lr.astype(np.float32)),
                             padding=cfg.padding)
 
 
