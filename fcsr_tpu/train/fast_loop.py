@@ -59,7 +59,9 @@ def _build_programs(cfg: GSRTrainConfig):
     WHOLE dataset plus per-fold index plans and gather on device."""
     model = cfg.model()
     dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-    template = model.init(jax.random.PRNGKey(0), dummy)
+    # dummy u_lr keeps the (expensive-to-compile) in-forward eigh out of
+    # the init trace — parameter creation is identical either way
+    template = model.init(jax.random.PRNGKey(0), dummy, u_lr=dummy)
     _, unravel = ravel_pytree(template)
 
     def loss_fn(flat_params, lr_m, hr_m, u_lr, u_hr):
@@ -171,9 +173,10 @@ class GSRFoldRunner:
         self.tr_idx, self.tr_valid = _pad_plans(folds, 0)
         self.va_idx, self.va_valid = _pad_plans(folds, 1)
         flats = []
+        eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
         for j in range(len(folds)):
-            p = cfg.model().init(jax.random.PRNGKey(init_seed + j),
-                                 jnp.eye(cfg.lr_dim, dtype=jnp.float32))
+            p = cfg.model().init(jax.random.PRNGKey(init_seed + j), eye,
+                                 u_lr=eye)
             flats.append(ravel_pytree(p)[0])
         self.flat0 = jnp.stack(flats)
         self.flat_trained = None

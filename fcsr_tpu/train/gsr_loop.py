@@ -52,7 +52,8 @@ def init_gsr(cfg: GSRTrainConfig, key: jax.Array):
     b1=0.9, b2=0.999, eps=1e-8 — ref: training_gsr.ipynb cell-4)."""
     model = cfg.model()
     dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-    params = model.init(key, dummy)
+    # dummy u_lr avoids tracing the in-forward eigh at init (slow compile)
+    params = model.init(key, dummy, u_lr=dummy)
     tx = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = tx.init(params)
     return model, params, tx, opt_state
