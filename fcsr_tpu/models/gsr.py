@@ -173,17 +173,19 @@ class GSRLayer(nn.Module):
         if u_lr is None:
             _, u_lr = jnp.linalg.eigh(adj_lr)
 
-        eye = jnp.eye(self.lr_dim, dtype=adj_lr.dtype)
-        s_d = jnp.concatenate([eye, eye[: self.hr_dim - self.lr_dim]], axis=0)
-        a = weights @ s_d.T  # (hr, hr)
-
-        pad = self.hr_dim - self.lr_dim
-        u_pad = jnp.pad(u_lr, ((0, pad), (0, pad)))
-        b = jnp.matmul(a, u_pad.T, preferred_element_type=jnp.float32)
-
-        if x.shape[0] < self.hr_dim:
-            x = jnp.pad(x, ((0, self.hr_dim - x.shape[0]), (0, 0)))
-        f_d = jnp.abs(jnp.matmul(b, x, preferred_element_type=jnp.float32))
+        # The reference builds this via a duplicated-identity selector and
+        # zero-padded eigenvector/feature matrices (models/layers.py:34-54):
+        #   a = W @ s_d.T;  b = a @ pad(U).T;  f_d = |b @ pad(f)|.
+        # All the padded blocks are zero, so the chain collapses EXACTLY
+        # (only zero summands are dropped) to two small matmuls:
+        #   b_small = W @ U.T          (hr, lr) @ (lr, lr)
+        #   f_d     = |b_small @ f|    (hr, lr) @ (lr, feat)
+        b_small = jnp.matmul(weights, u_lr.T,
+                             preferred_element_type=jnp.float32)
+        x_lr = x[: self.lr_dim]  # (the reference pads rows with zeros that
+        # b's zero columns would multiply; slicing is the exact equivalent)
+        f_d = jnp.abs(jnp.matmul(b_small, x_lr,
+                                 preferred_element_type=jnp.float32))
         f_d = fill_diagonal(f_d, 1.0)
 
         adj = normalize_adj(f_d)
@@ -231,9 +233,12 @@ class GSRNet(nn.Module):
         self.gc1 = GraphConvolution(self.hr_dim, self.hidden_dim)
         self.gc2 = GraphConvolution(self.hidden_dim, self.hr_dim)
 
-    def __call__(self, lr, u_lr: Optional[jax.Array] = None):
+    def __call__(self, lr, u_lr: Optional[jax.Array] = None,
+                 a_norm: Optional[jax.Array] = None):
         eye = jnp.eye(self.lr_dim, dtype=lr.dtype)
-        adj = normalize_adj(lr)
+        # a_norm (= normalize_adj(lr)) is pure data; pipelines precompute
+        # it batched and pass it in to keep it out of the training step
+        adj = normalize_adj(lr) if a_norm is None else a_norm
 
         net_outs, start_gcn_outs = self.net(adj, eye)
         outputs, z = self.layer(adj, net_outs, u_lr=u_lr)

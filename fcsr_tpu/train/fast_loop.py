@@ -64,9 +64,11 @@ def _build_programs(cfg: GSRTrainConfig):
     template = model.init(jax.random.PRNGKey(0), dummy, u_lr=dummy)
     _, unravel = ravel_pytree(template)
 
-    def loss_fn(flat_params, lr_m, hr_m, u_lr, u_hr):
+    def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
         params = unravel(flat_params)
-        pred, net_outs, start_outs, _ = model.apply(params, lr_m, u_lr=u_lr)
+        pred, net_outs, start_outs, _ = model.apply(params, a_norm_m,
+                                                    u_lr=u_lr,
+                                                    a_norm=a_norm_m)
         pred = unpad(pred, cfg.padding)
         w = params["params"]["layer"]["weights"]
         return gsr_composite_loss(pred, net_outs, start_outs, w, u_hr,
@@ -75,7 +77,7 @@ def _build_programs(cfg: GSRTrainConfig):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     @jax.jit
-    def train_all(flat_params_f, lr_all, hr_all, u_lr_all, u_hr_all,
+    def train_all(flat_params_f, a_norm_all, hr_all, u_lr_all, u_hr_all,
                   idxs_f, valid_f):
         def fold_train(flat_params, idx, valid):
             m0 = jnp.zeros_like(flat_params)
@@ -84,7 +86,7 @@ def _build_programs(cfg: GSRTrainConfig):
             def sample_step(carry, batch):
                 p, m, v, t = carry
                 i, ok = batch
-                (loss, err), g = grad_fn(p, lr_all[i], hr_all[i],
+                (loss, err), g = grad_fn(p, a_norm_all[i], hr_all[i],
                                          u_lr_all[i], u_hr_all[i])
                 okf = ok.astype(p.dtype)
                 t_new = t + okf
@@ -111,13 +113,15 @@ def _build_programs(cfg: GSRTrainConfig):
             flat_params_f, idxs_f, valid_f)
 
     @jax.jit
-    def eval_all(flat_params_f, lr_all, hr_all, u_lr_all, idxs_f, valid_f):
+    def eval_all(flat_params_f, a_norm_all, hr_all, u_lr_all, idxs_f,
+                 valid_f):
         def fold_eval(flat_params, idx, valid):
             params = unravel(flat_params)
 
             def one(i):
-                pred, _, _, _ = model.apply(params, lr_all[i],
-                                            u_lr=u_lr_all[i])
+                pred, _, _, _ = model.apply(params, a_norm_all[i],
+                                            u_lr=u_lr_all[i],
+                                            a_norm=a_norm_all[i])
                 pred = unpad(pred, cfg.padding)
                 gt = fill_diagonal(hr_all[i], 1.0)
                 return jnp.mean(jnp.abs(pred - gt)), pred
@@ -147,15 +151,22 @@ def _pad_plans(folds, which: int, pad_to: int = None):
 
 
 def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all):
-    """Host-side spectral precompute + one-shot flat-staged transfer of
-    the full dataset to HBM. Returns device-resident arrays."""
+    """Host-side precompute (normalized adjacency + spectral) + one-shot
+    flat-staged transfer to HBM. Ships a_norm (what the model actually
+    consumes) instead of raw lr. Returns device-resident arrays
+    (a_norm, hr, u_lr, u_hr_reduced)."""
     lr_np = np.asarray(lr_all, dtype=np.float32)
     hr_np = np.asarray(hr_all, dtype=np.float32)
+    rowsum = lr_np.sum(axis=-1)
+    with np.errstate(divide="ignore"):
+        r = rowsum ** -0.5
+    r[np.isinf(r)] = 0.0
+    a_norm = (lr_np * r[..., None, :] * r[..., :, None]).astype(np.float32)
     u_lr, u_hr = precompute_spectral(lr_np, hr_np, lr_dim=cfg.lr_dim,
                                      padding=cfg.padding)
-    return (device_put_fast(lr_np), device_put_fast(hr_np),
-            device_put_fast(np.asarray(u_lr)),
-            device_put_fast(np.asarray(u_hr)))
+    return (device_put_fast(a_norm), device_put_fast(hr_np),
+            device_put_fast(np.asarray(u_lr, dtype=np.float32)),
+            device_put_fast(np.asarray(u_hr, dtype=np.float32)))
 
 
 class GSRFoldRunner:
