@@ -99,7 +99,8 @@ def _build_programs(cfg: GSRTrainConfig):
 
             def epoch(carry, _):
                 carry, (losses, errs) = jax.lax.scan(sample_step, carry,
-                                                     (idx, valid))
+                                                     (idx, valid),
+                                                     unroll=4)
                 denom = jnp.maximum(valid.sum(), 1.0)
                 return carry, (jnp.sum(losses) / denom,
                                jnp.sum(errs) / denom)
