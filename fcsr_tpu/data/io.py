@@ -25,20 +25,32 @@ __all__ = ["load_csv_vectors", "load_dataset", "load_or_synthesize",
 
 def load_csv_vectors(csv_path: str) -> np.ndarray:
     """CSV of vectorized connectomes -> (N, V) float32; drops a leading
-    ID/index column and maps NaN -> 0 (ref: utils/preprocessing.py:52-63)."""
+    ID/index column and maps NaN -> 0 (ref: utils/preprocessing.py:52-63).
+
+    Primary path is the native multi-threaded C++ parser
+    (fcsr_tpu/native/fast_csv.cpp); falls back to pandas, then numpy."""
+    with open(csv_path) as f:
+        header = f.readline().strip().split(",")
+    skip_first = header[0].strip().strip('"') in ("", "Unnamed: 0", "ID")
+
+    try:
+        from fcsr_tpu.native import fast_csv_available, read_csv_float32
+        if fast_csv_available():
+            return read_csv_float32(csv_path, skip_first)
+    except Exception:  # pragma: no cover - toolchain-dependent
+        pass
+
     try:
         import pandas as pd
         df = pd.read_csv(csv_path)
-        if df.columns[0] in ("Unnamed: 0", "ID"):
+        if skip_first:
             df = df.iloc[:, 1:]
         data = df.to_numpy(dtype=np.float32)
     except ImportError:  # pragma: no cover - pandas is normally present
-        with open(csv_path) as f:
-            header = f.readline().strip().split(",")
-        skip_first = header[0] in ("", "Unnamed: 0", "ID")
         data = np.loadtxt(csv_path, delimiter=",", skiprows=1,
                           dtype=np.float32,
-                          usecols=range(1 if skip_first else 0, len(header)))
+                          usecols=range(1 if skip_first else 0,
+                                        len(header)))
     return np.nan_to_num(data, nan=0.0)
 
 
