@@ -1,0 +1,140 @@
+"""Pallas TPU kernels for the data path.
+
+The north-star fusion (BASELINE.json): HBM-resident vectorized connectomes
+-> dense symmetric adjacencies -> degree normalization, without
+materializing intermediates in HBM.
+
+Key trick: under the ROW-MAJOR triu ordering the reference's data path
+uses (ref: utils/matrix_vectorizer.py:74), row ``i``'s upper-triangle
+elements occupy a CONTIGUOUS run of the vector starting at
+``s_i = i*n - i*(i+1)/2``.  Reading the vector with a per-row dynamic
+slice offset of ``s_i - (i+1)`` (front-padded so offsets stay in bounds)
+lands element ``(i, j)`` at lane ``j`` directly — so the whole
+anti-vectorize is n dynamic slices + masked selects, no gather (TPU Mosaic
+has no general 2-D gather).  Symmetrization and D^-1/2 A D^-1/2
+normalization fuse into the same VMEM-resident kernel.
+
+All kernels also run under ``interpret=True`` for CPU CI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["anti_vectorize_normalize", "normalize_adj_pallas"]
+
+
+def _window_lanes(n: int) -> int:
+    """Aligned-load window size: smallest power-of-two number of 128-lane
+    vregs covering n + 128 residue lanes. (Mosaic's dynamic rotate
+    miscompiles on non-power-of-two vreg counts — observed wrong values at
+    3 vregs, exact at 4 — so stick to powers of two.)"""
+    need = ((n + 127) // 128) * 128 + 128
+    vregs = 1
+    while vregs * 128 < need:
+        vregs *= 2
+    return vregs * 128
+
+
+def _antivec_kernel(v_ref, out_ref, scratch, *, n: int, normalize: bool,
+                    fill_diag: float):
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    win = _window_lanes(n)
+
+    def build_row(i, _):
+        # row i's triu run starts at s_i = i*n - i*(i+1)/2 in the vector;
+        # shifting by -(i+1) (+n front pad) lands element (i, j) at lane j.
+        # Mosaic only allows 128-aligned lane offsets, so load an aligned
+        # window and rotate the residue with a dynamic roll.
+        start = n + i * n - (i * (i + 1)) // 2 - (i + 1)
+        aligned = pl.multiple_of((start // 128) * 128, 128)
+        rem = start - aligned
+        window = v_ref[0, 0, pl.ds(aligned, win)].reshape(1, win)
+        row = pltpu.roll(window, -rem, axis=1)[:, :n]
+        scratch[pl.ds(i, 1), :] = jnp.where(col_ids > i, row, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, build_row, 0)
+    upper = scratch[:]
+    a = upper + upper.T
+    if fill_diag != 0.0:
+        eye = jnp.eye(n, dtype=a.dtype)
+        a = a * (1.0 - eye) + fill_diag * eye
+    if normalize:
+        rowsum = jnp.sum(a, axis=1, keepdims=True)
+        r = jax.lax.rsqrt(rowsum)
+        r = jnp.where(jnp.isfinite(r), r, 0.0)
+        a = a * r * r.reshape(1, n)
+    out_ref[0] = a
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "normalize", "fill_diag",
+                                    "interpret"))
+def anti_vectorize_normalize(vectors, n: int, normalize: bool = True,
+                             fill_diag: float = 0.0,
+                             interpret: bool = False):
+    """(B, V) row-major triu vectors -> (B, n, n) symmetric adjacencies,
+    optionally degree-normalized (fused anti-vectorize +
+    normalize_adj, ref: utils/matrix_vectorizer.py:61-88 +
+    utils/preprocessing.py:16-25), one pallas program per connectome.
+
+    ``fill_diag`` sets the diagonal before normalization (the reference's
+    pad_HR_adj pipeline uses 1.0)."""
+    vectors = jnp.asarray(vectors, dtype=jnp.float32)
+    b = vectors.shape[0]
+    m = n * (n - 1) // 2
+    # front pad n (shifted offsets stay >= 0); back pad so the largest
+    # aligned window load stays in bounds; round the total up to a lane
+    # multiple. Extra trailing vector entries are ignored, matching
+    # anti_vectorize's vector[:m] slicing.
+    total = n + m + _window_lanes(n)
+    total = ((total + 127) // 128) * 128
+    vpad = jnp.pad(vectors[:, :m],
+                   ((0, 0), (n, total - n - m)))[:, None, :]
+
+    kernel = functools.partial(_antivec_kernel, n=n, normalize=normalize,
+                               fill_diag=fill_diag)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 1, total), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+        interpret=interpret,
+    )(vpad)
+
+
+def _normalize_kernel(a_ref, out_ref):
+    a = a_ref[0]
+    rowsum = jnp.sum(a, axis=1, keepdims=True)
+    r = jax.lax.rsqrt(rowsum)
+    r = jnp.where(jnp.isfinite(r), r, 0.0)
+    out_ref[0] = a * r * r.reshape(1, a.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def normalize_adj_pallas(adjacencies, interpret: bool = False):
+    """(B, n, n) fused symmetric degree normalization D^-1/2 A D^-1/2
+    (zero-degree guard included), one program per matrix."""
+    adjacencies = jnp.asarray(adjacencies, dtype=jnp.float32)
+    b, n, _ = adjacencies.shape
+    return pl.pallas_call(
+        _normalize_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        interpret=interpret,
+    )(adjacencies)

@@ -1,0 +1,67 @@
+"""Pallas kernel correctness vs the XLA reference implementations.
+
+Runs in interpret mode on the CPU test platform; the same kernels compile
+natively on TPU (exercised by bench/pipelines).
+"""
+
+import numpy as np
+import pytest
+
+from fcsr_tpu.core.normalize import normalize_adj
+from fcsr_tpu.core.pallas_kernels import (
+    anti_vectorize_normalize,
+    normalize_adj_pallas,
+)
+from fcsr_tpu.core.vectorize import anti_vectorize_batch, vec_len
+
+
+@pytest.mark.parametrize("n", [8, 33])
+def test_antivec_kernel_matches_xla(rng, n):
+    b = 3
+    vecs = rng.random((b, vec_len(n))).astype(np.float32)
+    got = np.asarray(anti_vectorize_normalize(vecs, n, normalize=False,
+                                              interpret=True))
+    want = np.asarray(anti_vectorize_batch(vecs, n))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [8, 33])
+def test_antivec_normalize_fused(rng, n):
+    b = 2
+    vecs = rng.random((b, vec_len(n))).astype(np.float32)
+    got = np.asarray(anti_vectorize_normalize(vecs, n, normalize=True,
+                                              interpret=True))
+    dense = np.asarray(anti_vectorize_batch(vecs, n))
+    want = np.asarray(normalize_adj(dense))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_antivec_fill_diag(rng):
+    n = 12
+    vecs = rng.random((1, vec_len(n))).astype(np.float32)
+    got = np.asarray(anti_vectorize_normalize(vecs, n, normalize=False,
+                                              fill_diag=1.0,
+                                              interpret=True))
+    assert np.all(np.diag(got[0]) == 1.0)
+    dense = np.asarray(anti_vectorize_batch(vecs, n))[0]
+    off = ~np.eye(n, dtype=bool)
+    np.testing.assert_allclose(got[0][off], dense[off], atol=1e-6)
+
+
+def test_antivec_ignores_trailing(rng):
+    n = 9
+    vecs = rng.random((2, vec_len(n) + 7)).astype(np.float32)
+    got = np.asarray(anti_vectorize_normalize(vecs, n, normalize=False,
+                                              interpret=True))
+    want = np.asarray(anti_vectorize_batch(vecs, n))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_normalize_kernel_matches_xla(rng):
+    from tests.conftest import random_symmetric
+    b = np.stack([random_symmetric(rng, 20) for _ in range(4)])
+    b[2, 5, :] = 0.0
+    b[2, :, 5] = 0.0  # zero-degree guard path
+    got = np.asarray(normalize_adj_pallas(b, interpret=True))
+    want = np.asarray(normalize_adj(b))
+    np.testing.assert_allclose(got, want, atol=1e-5)
