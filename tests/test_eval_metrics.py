@@ -9,7 +9,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True)
+def _x64_scope():
+    # f64 kernels for parity with NetworkX; scoped so the flag does not
+    # leak into other test modules
+    with jax.enable_x64(True):
+        yield
+
 
 from fcsr_tpu.evalx import (
     betweenness_centrality,
