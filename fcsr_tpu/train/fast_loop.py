@@ -53,10 +53,12 @@ def adam_flat_update(g, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
     return step, m, v
 
 
-@lru_cache(maxsize=8)
-def _build_programs(cfg: GSRTrainConfig):
-    """Compiled train / eval programs, cached per config. Both take the
-    WHOLE dataset plus per-fold index plans and gather on device."""
+@lru_cache(maxsize=16)
+def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
+    """Compiled train / eval programs, cached per (config, epoch-chunk).
+    Both take the WHOLE dataset plus per-fold index plans and gather on
+    device. ``epochs`` overrides cfg.epochs (used for checkpoint chunks)."""
+    n_epochs = cfg.epochs if epochs is None else epochs
     model = cfg.model()
     dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
     # dummy u_lr keeps the (expensive-to-compile) in-forward eigh out of
@@ -77,12 +79,9 @@ def _build_programs(cfg: GSRTrainConfig):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     @jax.jit
-    def train_all(flat_params_f, a_norm_all, hr_all, u_lr_all, u_hr_all,
+    def train_all(state_f, a_norm_all, hr_all, u_lr_all, u_hr_all,
                   idxs_f, valid_f):
-        def fold_train(flat_params, idx, valid):
-            m0 = jnp.zeros_like(flat_params)
-            v0 = jnp.zeros_like(flat_params)
-
+        def fold_train(state, idx, valid):
             def sample_step(carry, batch):
                 p, m, v, t = carry
                 i, ok = batch
@@ -105,13 +104,12 @@ def _build_programs(cfg: GSRTrainConfig):
                 return carry, (jnp.sum(losses) / denom,
                                jnp.sum(errs) / denom)
 
-            (p, m, v, t), (loss_hist, err_hist) = jax.lax.scan(
-                epoch, (flat_params, m0, v0, jnp.float32(0.0)), None,
-                length=cfg.epochs)
-            return p, loss_hist, err_hist
+            state, (loss_hist, err_hist) = jax.lax.scan(
+                epoch, state, None, length=n_epochs)
+            return state, loss_hist, err_hist
 
         return jax.vmap(fold_train, in_axes=(0, 0, 0))(
-            flat_params_f, idxs_f, valid_f)
+            state_f, idxs_f, valid_f)
 
     @jax.jit
     def eval_all(flat_params_f, a_norm_all, hr_all, u_lr_all, idxs_f,
@@ -193,13 +191,69 @@ class GSRFoldRunner:
         self.flat0 = jnp.stack(flats)
         self.flat_trained = None
 
-    def train(self):
-        lr_all, hr_all, u_lr, u_hr = self.data
-        p_f, loss_hist, err_hist = self._train_all(
-            self.flat0, lr_all, hr_all, u_lr, u_hr,
-            jnp.asarray(self.tr_idx), jnp.asarray(self.tr_valid))
-        self.flat_trained = p_f
-        return p_f, loss_hist, err_hist
+    def fresh_state(self):
+        """(params, adam_m, adam_v, step_count) stacked over folds."""
+        z = jnp.zeros_like(self.flat0)
+        return (self.flat0, z, z,
+                jnp.zeros((self.flat0.shape[0],), jnp.float32))
+
+    def _run_chunk(self, state, epochs: int):
+        _, _, _, train_chunk, _ = _build_programs(self.cfg, epochs)
+        a_norm, hr_all, u_lr, u_hr = self.data
+        return train_chunk(state, a_norm, hr_all, u_lr, u_hr,
+                           jnp.asarray(self.tr_idx),
+                           jnp.asarray(self.tr_valid))
+
+    def train(self, checkpoint_path: str = None,
+              checkpoint_every: int = None):
+        """Full training run; with ``checkpoint_path`` the run executes in
+        ``checkpoint_every``-epoch chunks, persisting the exact
+        (params, Adam m/v, step count, epoch) state between chunks and
+        resuming from the file if it exists. Chunked and single-shot runs
+        produce identical trajectories (the optimizer state round-trips
+        losslessly; verified in tests)."""
+        a_norm, hr_all, u_lr, u_hr = self.data
+        if checkpoint_path is None:
+            state, loss_hist, err_hist = self._train_all(
+                self.fresh_state(), a_norm, hr_all, u_lr, u_hr,
+                jnp.asarray(self.tr_idx), jnp.asarray(self.tr_valid))
+            self.flat_trained = state[0]
+            return state[0], loss_hist, err_hist
+
+        import os
+
+        checkpoint_every = checkpoint_every or max(1, self.cfg.epochs // 10)
+        state = self.fresh_state()
+        done = 0
+        losses, errs = [], []
+        if os.path.exists(checkpoint_path):
+            import flax.serialization as ser
+            with open(checkpoint_path, "rb") as f:
+                blob = ser.msgpack_restore(f.read())
+            state = tuple(jnp.asarray(x) for x in blob["state"])
+            done = int(blob["epoch"])
+            losses = [np.asarray(blob["loss_hist"])]
+            errs = [np.asarray(blob["err_hist"])]
+
+        while done < self.cfg.epochs:
+            chunk = min(checkpoint_every, self.cfg.epochs - done)
+            state, lh, eh = self._run_chunk(state, chunk)
+            losses.append(np.asarray(lh))
+            errs.append(np.asarray(eh))
+            done += chunk
+            import flax.serialization as ser
+            blob = {"state": [np.asarray(x) for x in state],
+                    "epoch": done,
+                    "loss_hist": np.concatenate(losses, axis=1),
+                    "err_hist": np.concatenate(errs, axis=1)}
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(ser.msgpack_serialize(blob))
+            os.replace(tmp, checkpoint_path)
+
+        self.flat_trained = state[0]
+        return (state[0], np.concatenate(losses, axis=1),
+                np.concatenate(errs, axis=1))
 
     def evaluate(self, flat_params_f=None):
         if flat_params_f is None:
