@@ -166,12 +166,22 @@ def evaluate_pair_stacks(gt_matrices, pred_matrices,
     else:
         raise ValueError(f"unknown backend: {backend}")
 
+    # global regression metrics on the column-major vectorized concats:
+    # tiny host-side reductions, computed in full f64 with scipy (the
+    # reference's exact calls, utils/evaluation.py:110-112)
     gt_1d = np.asarray(vectorize_batch(gt)).reshape(-1)
     pred_1d = np.asarray(vectorize_batch(pred)).reshape(-1)
     out = dict(topo)
     out["mae"] = float(np.mean(np.abs(gt_1d - pred_1d)))
-    out["pcc"] = float(M.pearson_corr(gt_1d, pred_1d))
-    out["js_distance"] = float(M.jensen_shannon_distance(gt_1d, pred_1d))
+    try:
+        from scipy.spatial.distance import jensenshannon
+        from scipy.stats import pearsonr
+        out["pcc"] = float(pearsonr(gt_1d, pred_1d)[0])
+        out["js_distance"] = float(jensenshannon(gt_1d, pred_1d))
+    except ImportError:  # pragma: no cover
+        out["pcc"] = float(M.pearson_corr(gt_1d, pred_1d))
+        out["js_distance"] = float(M.jensen_shannon_distance(gt_1d,
+                                                             pred_1d))
     return out
 
 
