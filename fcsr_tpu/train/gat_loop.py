@@ -67,14 +67,25 @@ def init_gat(cfg: GATTrainConfig, key: jax.Array):
     return model, variables, tx, opt_state
 
 
-@partial(jax.jit, static_argnames=("dim",))
 def precompute_gat_features(lr_stack, dim: int):
     """Batched SVD node features of the normalized (A + I) adjacencies —
-    exactly what the reference recomputes inside every forward."""
-    n = lr_stack.shape[-1]
-    a = lr_stack + jnp.eye(n, dtype=lr_stack.dtype)
-    a = symmetric_normalize(a)
-    return svd_node_features(a, dim)
+    exactly what the reference recomputes inside every forward
+    (ref: unet-transformer.py:313-317,324-329).
+
+    Computed with host LAPACK: this is one-shot data preprocessing, and
+    linalg decompositions nested inside custom jits trigger multi-minute
+    XLA TPU compiles (same pathology as eigh, see gsr_loop.py). numpy's
+    gesdd also matches torch.svd's sign conventions more closely than
+    XLA's SVD."""
+    lr_np = np.asarray(lr_stack, dtype=np.float64)
+    n = lr_np.shape[-1]
+    a = lr_np + np.eye(n)
+    d = a.sum(axis=-1) + 1e-5
+    r = d ** -0.5
+    a = a * r[..., None, :] * r[..., :, None]
+    u, _, _ = np.linalg.svd(a)
+    from fcsr_tpu.utils.transfer import device_put_fast
+    return device_put_fast(u[..., :, :dim].astype(np.float32))
 
 
 def unet_loss(pred, target, a_hist, a_recon_hist,
