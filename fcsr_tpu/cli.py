@@ -53,6 +53,10 @@ def build_parser():
     g.add_argument("--reset-per-fold", action="store_true",
                    help="fresh model per fold (the reference keeps "
                         "training one model across folds)")
+    g.add_argument("--checkpoint", default=None,
+                   help="(--fast only) checkpoint file for exact "
+                        "mid-training save/resume")
+    g.add_argument("--checkpoint-every", type=int, default=None)
 
     m = trs.add_parser("mlp")
     _add_common(m)
@@ -113,10 +117,12 @@ def main(argv=None):
             cfg = GSRTrainConfig(epochs=args.epochs, lr=args.lr,
                                  lmbda=args.lmbda)
             if args.fast:
-                result = run_gsr_cv_fast(data, cfg, splits=args.splits,
-                                         seed=args.seed,
-                                         full_metrics=args.full_metrics,
-                                         eval_backend=args.eval_backend)
+                result = run_gsr_cv_fast(
+                    data, cfg, splits=args.splits, seed=args.seed,
+                    full_metrics=args.full_metrics,
+                    eval_backend=args.eval_backend,
+                    checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every)
             else:
                 result = run_gsr_cv(data, cfg, splits=args.splits,
                                     seed=args.seed,

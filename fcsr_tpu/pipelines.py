@@ -123,7 +123,9 @@ def run_gsr_cv_fast(data: Dict[str, np.ndarray],
                     cfg: Optional[GSRTrainConfig] = None,
                     splits: int = 3, seed: int = 42, init_seed: int = 0,
                     full_metrics: bool = False,
-                    eval_backend: str = "device"):
+                    eval_backend: str = "device",
+                    checkpoint_path: Optional[str] = None,
+                    checkpoint_every: Optional[int] = None):
     """Performance path: clean-CV (fresh model per fold) with all folds
     trained in ONE vmapped program and a flat-vector Adam — see
     fast_loop.py for why this is exact per-fold math, not an
@@ -139,7 +141,9 @@ def run_gsr_cv_fast(data: Dict[str, np.ndarray],
     t0 = time.perf_counter()
     model, params_per_fold, loss_hist, err_hist, runner = \
         train_gsr_folds_parallel(cfg, lr_all, hr_all, folds,
-                                 init_seed=init_seed)
+                                 init_seed=init_seed,
+                                 checkpoint_path=checkpoint_path,
+                                 checkpoint_every=checkpoint_every)
     t_train = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -270,7 +270,9 @@ class GSRFoldRunner:
 
 
 def train_gsr_folds_parallel(cfg: GSRTrainConfig, lr_all, hr_all, folds,
-                             init_seed: int = 0):
+                             init_seed: int = 0,
+                             checkpoint_path: str = None,
+                             checkpoint_every: int = None):
     """Train one fresh GSR-Net per fold, all folds in parallel.
 
     Returns (model, per-fold params list, loss_hist (F, epochs),
@@ -278,7 +280,8 @@ def train_gsr_folds_parallel(cfg: GSRTrainConfig, lr_all, hr_all, folds,
     for follow-up evaluation.
     """
     runner = GSRFoldRunner(cfg, lr_all, hr_all, folds, init_seed=init_seed)
-    p_f, loss_hist, err_hist = runner.train()
+    p_f, loss_hist, err_hist = runner.train(
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
     return (runner.model, runner.params_per_fold(), np.asarray(loss_hist),
             np.asarray(err_hist), runner)
 
