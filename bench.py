@@ -61,6 +61,19 @@ def main():
     t_cold, _ = full_pass()
     t_steady, maes = full_pass()
 
+    # quality context: MAE of predicting each fold's train-mean HR matrix
+    # (with unit diagonal, matching the eval convention)
+    hr = np.asarray(data["hr_train"], dtype=np.float32)
+    base = []
+    for tr, va in folds:
+        mean_hr = hr[tr].mean(axis=0)
+        np.fill_diagonal(mean_hr, 1.0)
+        gts = hr[va].copy()
+        for m in gts:
+            np.fill_diagonal(m, 1.0)
+        base.append(np.abs(gts - mean_hr[None]).mean())
+    baseline_mae = float(np.mean(base))
+
     n_train_steps = sum(len(tr) for tr, _ in folds) * cfg.epochs
     n_eval = sum(len(va) for _, va in folds)
     work = n_train_steps + n_eval
@@ -77,6 +90,7 @@ def main():
         "epochs": cfg.epochs,
         "train_steps": n_train_steps,
         "mean_val_mae": round(float(maes.mean()), 6),
+        "trainmean_baseline_mae": round(baseline_mae, 6),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

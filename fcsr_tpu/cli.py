@@ -66,6 +66,7 @@ def build_parser():
     m.add_argument("--lr", type=float, default=0.01)
     m.add_argument("--n-layers", type=int, default=0)
     m.add_argument("--batch-size", type=int, default=32)
+    m.add_argument("--variant", default="v2", choices=["v1", "v2"])
 
     a = trs.add_parser("gat")
     _add_common(a)
@@ -81,6 +82,17 @@ def build_parser():
     ev.add_argument("--backend", default="device",
                     choices=["device", "networkx"])
     ev.add_argument("--out-dir", default=".")
+
+    pr = sub.add_parser("predict",
+                        help="load a GSR checkpoint and write a submission")
+    pr.add_argument("--params", required=True,
+                    help="msgpack params file (as written by the "
+                         "train pipelines / examples)")
+    pr.add_argument("--data-dir", default="data")
+    pr.add_argument("--out", default="submission.csv")
+    pr.add_argument("--ordering", default="rowmajor",
+                    choices=["rowmajor", "colmajor"])
+    pr.add_argument("--seed", type=int, default=42)
 
     return ap
 
@@ -141,6 +153,7 @@ def main(argv=None):
                                 p_val=args.p_val, num_epochs=args.epochs,
                                 lr=args.lr, batch_size=args.batch_size,
                                 n_layers=args.n_layers, seed=args.seed,
+                                variant=args.variant,
                                 full_metrics=args.full_metrics,
                                 eval_backend=args.eval_backend,
                                 verbose=args.verbose)
@@ -155,6 +168,24 @@ def main(argv=None):
                                 eval_backend=args.eval_backend,
                                 verbose=args.verbose)
             _finish(args, result, "submission.csv", ordering="colmajor")
+        return 0
+
+    if args.cmd == "predict":
+        import jax
+
+        from fcsr_tpu.data import load_or_synthesize
+        from fcsr_tpu.iox import load_pytree, save_prediction
+        from fcsr_tpu.train import GSRTrainConfig, init_gsr, predict_gsr
+
+        cfg = GSRTrainConfig()
+        model, template, _, _ = init_gsr(cfg, jax.random.PRNGKey(0))
+        params = load_pytree(template, args.params)
+        data = load_or_synthesize(args.data_dir, seed=args.seed)
+        preds = np.asarray(predict_gsr(params, model, cfg,
+                                       data["lr_test"]))
+        save_prediction(preds, args.out, ordering=args.ordering)
+        print(f"submission written: {args.out} "
+              f"({preds.shape[0]} subjects, {args.ordering})")
         return 0
 
     if args.cmd == "evaluate":

@@ -25,26 +25,39 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
                p_val: float = 0.33, num_epochs: int = 100, lr: float = 0.01,
                batch_size: int = 32, n_layers: int = 0,
                hidden: Optional[int] = None, seed: int = 42,
+               variant: str = "v2",
                full_metrics: bool = False, eval_backend: str = "device",
                verbose: bool = False):
-    """SpectralResMLP k-fold pipeline (ref: training_template.ipynb):
-    contiguous-window folds over one permutation, MSE + AdamW + plateau LR,
-    best-state restore, per-fold metrics, final test predictions."""
+    """MLP k-fold pipeline: contiguous-window folds over one permutation,
+    MSE + AdamW + plateau LR, best-state restore, per-fold metrics, final
+    test predictions.
+
+    ``variant="v2"`` is the shipped spectral-norm residual MLP
+    (ref: training_template.ipynb); ``variant="v1"`` is the plain dense
+    MLP baseline (ref: models/mlp.py + old/mlp.ipynb: hidden 10000,
+    one hidden block)."""
     from fcsr_tpu.data.datamodule import contiguous_window_folds
-    from fcsr_tpu.models.mlp import SpectralResMLP
+    from fcsr_tpu.models.mlp import SpectralResMLP, SuperResMLP
     from fcsr_tpu.train.generic_loop import mse_criterion, train_model
 
     lr_all = np.asarray(data["lr_train"], dtype=np.float32)
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
     n_in = lr_all.shape[-1]
     n_out = hr_all.shape[-1]
-    hidden = hidden or (n_in + n_out) // 2
     folds = contiguous_window_folds(len(lr_all), k_folds, p_val, seed=seed)
 
     fold_metrics, fold_losses = [], []
     best = None
-    model = SpectralResMLP(num_nodes_input=n_in, num_nodes_output=n_out,
-                           num_hidden=hidden, n_layers=n_layers)
+    if variant == "v1":
+        model = SuperResMLP(input_size=n_in * n_in,
+                            output_size=n_out * n_out,
+                            hidden_dim=hidden or 10000,
+                            n_layers=max(1, n_layers))
+    else:
+        hidden = hidden or (n_in + n_out) // 2
+        model = SpectralResMLP(num_nodes_input=n_in,
+                               num_nodes_output=n_out,
+                               num_hidden=hidden, n_layers=n_layers)
     for j, (tr, va) in enumerate(folds):
         variables = model.init(
             {"params": jax.random.PRNGKey(seed + j),
