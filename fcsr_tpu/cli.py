@@ -7,7 +7,7 @@ The reference has no CLI (entry points are notebooks and one script
     python -m fcsr_tpu train mlp  --data-dir data --k-folds 3
     python -m fcsr_tpu train gat  --data-dir data --splits 3
     python -m fcsr_tpu evaluate   --gt gt.npz --pred pred.npz --fold 0
-    python -m fcsr_tpu predict    --checkpoint ckpt.msgpack --out sub.csv
+    python -m fcsr_tpu predict    --params params.msgpack --out sub.csv
 
 Synthetic data is substituted automatically when the Kaggle CSVs are not
 present in --data-dir (the challenge data is private).

@@ -65,3 +65,35 @@ def test_cli_evaluate(tmp_path):
                    "--fold", "1", "--out-dir", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "results_fold_1.txt").exists()
+
+
+def test_mlp_v1_variant(tiny_data):
+    from fcsr_tpu.pipelines import run_mlp_cv
+    r = run_mlp_cv(tiny_data, k_folds=2, num_epochs=2, batch_size=4,
+                   variant="v1", hidden=32, n_layers=1)
+    assert r["test_preds"].shape == (3, 268, 268)
+
+
+def test_cli_predict_roundtrip(tmp_path, monkeypatch, tiny_data):
+    """Save trained GSR params via the fast pipeline, reload through the
+    predict subcommand, and get a valid submission."""
+    import jax
+    from fcsr_tpu import cli
+    from fcsr_tpu.iox import save_pytree
+    from fcsr_tpu.train import GSRTrainConfig, init_gsr
+
+    cfg = GSRTrainConfig()
+    model, params, _, _ = init_gsr(cfg, jax.random.PRNGKey(3))
+    ppath = tmp_path / "params.msgpack"
+    save_pytree(params, str(ppath))
+
+    import fcsr_tpu.data as data_mod
+    monkeypatch.setattr(data_mod, "load_or_synthesize",
+                        lambda *a, **k: tiny_data)
+    out = tmp_path / "sub.csv"
+    rc = cli.main(["predict", "--params", str(ppath),
+                   "--out", str(out), "--ordering", "rowmajor"])
+    assert rc == 0
+    import pandas as pd
+    df = pd.read_csv(out)
+    assert len(df) == 3 * (268 * 267 // 2)
