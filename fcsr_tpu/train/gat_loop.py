@@ -141,7 +141,7 @@ def _make_epoch_fn(model: GATGraphUnet, tx, cfg: GATTrainConfig):
 
 def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
               lr_train, hr_train, lr_val, hr_val, seed: int = 0,
-              verbose: bool = False):
+              verbose: bool = False, logger=None):
     """Full training run with per-epoch validation, plateau LR decay,
     best-state restore, early stop at lr < 1e-5
     (ref: unet-transformer.py:113-197)."""
@@ -187,6 +187,10 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
         if v_loss < best_val:  # reference bug (>) fixed here
             best_val = v_loss
             best_params = jax.tree_util.tree_map(np.asarray, params)
+        if logger is not None:
+            logger.log("epoch", model="gat", epoch=epoch + 1,
+                       train_loss=train_hist[-1], val_loss=v_loss,
+                       val_mae=float(v_mae), lr=cur_lr)
         if verbose:
             print(f"epoch {epoch + 1}: train {train_hist[-1]:.6f} "
                   f"val {v_loss:.6f} val_mae {float(v_mae):.6f} "

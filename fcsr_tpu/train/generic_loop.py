@@ -105,7 +105,7 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
                 weight_decay: float = 0.01,
                 criterion: Callable = mse_criterion,
                 min_lr_stop: float = 1e-5, seed: int = 0,
-                verbose: bool = False):
+                verbose: bool = False, logger=None):
     """Train a batched flax model; returns
     (train_hist, val_hist, lr_hist, best_variables) with the model's best
     validation state restored, mirroring the reference's return contract
@@ -173,6 +173,11 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
                     lambda x: np.asarray(x), variables)
             if cur_lr < min_lr_stop:
                 break
+        if logger is not None:
+            logger.log("epoch", epoch=epoch + 1,
+                       train_loss=train_hist[-1],
+                       val_loss=val_hist[-1] if val_hist else None,
+                       lr=cur_lr)
         if verbose:
             print(f"epoch {epoch + 1}: train {train_hist[-1]:.6f} "
                   f"val {val_hist[-1] if val_hist else float('nan'):.6f} "
