@@ -27,7 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["anti_vectorize_normalize", "normalize_adj_pallas"]
+__all__ = ["anti_vectorize_normalize", "normalize_adj_pallas",
+           "vectorize_colmajor_pallas"]
 
 
 def _window_lanes(n: int) -> int:
@@ -112,6 +113,55 @@ def anti_vectorize_normalize(vectors, n: int, normalize: bool = True,
         scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
         interpret=interpret,
     )(vpad)
+
+
+def _vectorize_kernel(m_ref, out_ref, *, n: int):
+    win = _window_lanes(n)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
+    mat_t = m_ref[0].T  # column j of M = row j of M^T (contiguous lanes)
+
+    def write_col(j, _):
+        # column j's strict-upper entries M[0:j, j] land at output
+        # positions t_j = j*(j-1)/2 ... t_j + j - 1 (column-major order)
+        t_j = (j * (j - 1)) // 2
+        aligned = pl.multiple_of((t_j // 128) * 128, 128)
+        rem = t_j - aligned
+        row = jnp.pad(mat_t[j].reshape(1, n), ((0, 0), (0, win - n)))
+        vals = pltpu.roll(row, rem, axis=1)
+        mask = (lane_ids >= rem) & (lane_ids < rem + j)
+        pltpu.store(out_ref.at[0, 0, pl.ds(aligned, win)],
+                    vals.reshape(win), mask=mask.reshape(win))
+        return 0
+
+    jax.lax.fori_loop(0, n, write_col, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def vectorize_colmajor_pallas(matrices, n: int = None,
+                              interpret: bool = False):
+    """(B, n, n) symmetric matrices -> (B, n*(n-1)/2) COLUMN-MAJOR
+    vectorized form (the reference's ``MatrixVectorizer.vectorize``
+    ordering, ref: utils/matrix_vectorizer.py:47-57) — the submission-path
+    kernel. Masked aligned-window stores + dynamic roll (the mirror of the
+    anti-vectorize trick)."""
+    matrices = jnp.asarray(matrices, dtype=jnp.float32)
+    b, n_in, _ = matrices.shape
+    n = n or n_in
+    m = n * (n - 1) // 2
+    total = ((m + _window_lanes(n) + 127) // 128) * 128
+
+    kernel = functools.partial(_vectorize_kernel, n=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, total), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, total), jnp.float32),
+        interpret=interpret,
+    )(matrices)
+    return out[:, 0, :m]
 
 
 def _normalize_kernel(a_ref, out_ref):

@@ -65,3 +65,30 @@ def test_normalize_kernel_matches_xla(rng):
     got = np.asarray(normalize_adj_pallas(b, interpret=True))
     want = np.asarray(normalize_adj(b))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [8, 33])
+def test_vectorize_colmajor_kernel(rng, n):
+    from fcsr_tpu.core.pallas_kernels import vectorize_colmajor_pallas
+    from fcsr_tpu.core.vectorize import vectorize_batch
+    mats = rng.random((3, n, n)).astype(np.float32)
+    mats = (mats + mats.transpose(0, 2, 1)) / 2
+    got = np.asarray(vectorize_colmajor_pallas(mats, interpret=True))
+    want = np.asarray(vectorize_batch(mats))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_vectorize_antivectorize_kernel_roundtrip(rng):
+    """rowmajor anti-vec kernel + colmajor vec kernel compose exactly like
+    the reference's (non-inverse) ordering pair."""
+    from fcsr_tpu.core.pallas_kernels import (anti_vectorize_normalize,
+                                              vectorize_colmajor_pallas)
+    from fcsr_tpu.core.vectorize import anti_vectorize_batch, vec_len, \
+        vectorize_batch
+    n = 16
+    v = rng.random((2, vec_len(n))).astype(np.float32)
+    dense = np.asarray(anti_vectorize_normalize(v, n, normalize=False,
+                                                interpret=True))
+    got = np.asarray(vectorize_colmajor_pallas(dense, interpret=True))
+    want = np.asarray(vectorize_batch(anti_vectorize_batch(v, n)))
+    np.testing.assert_allclose(got, want, atol=1e-7)
