@@ -12,6 +12,7 @@ from fcsr_tpu.evalx.centrality import (  # noqa: F401
     weighted_kcore_scores,
 )
 from fcsr_tpu.evalx.report import (  # noqa: F401
+    evaluate_metrics,
     evaluate_pair_stacks,
     print_metrics,
 )

@@ -27,7 +27,19 @@ from fcsr_tpu.core.vectorize import vectorize_batch
 from fcsr_tpu.evalx import centrality as C
 from fcsr_tpu.evalx import metrics as M
 
-__all__ = ["print_metrics", "evaluate_pair_stacks"]
+__all__ = ["print_metrics", "evaluate_pair_stacks", "evaluate_metrics"]
+
+
+def evaluate_metrics(apply_fn, lr_stack, hr_stack, fold_i: int = 0,
+                     backend: str = "device", **kwargs):
+    """Reference-API convenience (utils/evaluation.py:176-196): run the
+    model forward over a validation stack and report the full metric
+    suite. ``apply_fn(lr_stack) -> pred_stack``. (The reference's version
+    crashes on a missing fold argument — ref: utils/evaluation.py:196 —
+    fixed here.)"""
+    preds = np.asarray(apply_fn(np.asarray(lr_stack, dtype=np.float32)))
+    return print_metrics(np.asarray(hr_stack), preds, fold_i=fold_i,
+                         backend=backend, **kwargs)
 
 
 def _sample_pivots(n: int, k: int, rng: random.Random) -> np.ndarray:
