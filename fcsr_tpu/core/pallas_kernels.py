@@ -115,10 +115,13 @@ def anti_vectorize_normalize(vectors, n: int, normalize: bool = True,
     )(vpad)
 
 
-def _vectorize_kernel(m_ref, out_ref, *, n: int):
+def _vectorize_kernel(m_ref, out_ref, scratch, *, n: int):
     win = _window_lanes(n)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
-    mat_t = m_ref[0].T  # column j of M = row j of M^T (contiguous lanes)
+    # column j of M = row j of M^T; stage the transpose in a scratch ref so
+    # per-column access is a (supported) dynamic ROW slice, then place each
+    # column's strict-upper run with an aligned masked store + roll
+    scratch[:] = m_ref[0].T
 
     def write_col(j, _):
         # column j's strict-upper entries M[0:j, j] land at output
@@ -126,7 +129,8 @@ def _vectorize_kernel(m_ref, out_ref, *, n: int):
         t_j = (j * (j - 1)) // 2
         aligned = pl.multiple_of((t_j // 128) * 128, 128)
         rem = t_j - aligned
-        row = jnp.pad(mat_t[j].reshape(1, n), ((0, 0), (0, win - n)))
+        col = scratch[pl.ds(j, 1), :]
+        row = jnp.pad(col.reshape(1, n), ((0, 0), (0, win - n)))
         vals = pltpu.roll(row, rem, axis=1)
         mask = (lane_ids >= rem) & (lane_ids < rem + j)
         pltpu.store(out_ref.at[0, 0, pl.ds(aligned, win)],
@@ -159,6 +163,7 @@ def vectorize_colmajor_pallas(matrices, n: int = None,
         out_specs=pl.BlockSpec((1, 1, total), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, total), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
         interpret=interpret,
     )(matrices)
     return out[:, 0, :m]
