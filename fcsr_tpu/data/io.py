@@ -14,7 +14,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from fcsr_tpu.core.vectorize import anti_vectorize_batch, vec_len
+from fcsr_tpu.core.vectorize import anti_vectorize_batch
 
 LR_DIM = 160
 HR_DIM = 268

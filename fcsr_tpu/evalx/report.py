@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

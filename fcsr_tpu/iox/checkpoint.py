@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 from flax import serialization
 
 __all__ = ["save_pytree", "load_pytree"]

@@ -19,7 +19,6 @@ reference's boolean-mask gather.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

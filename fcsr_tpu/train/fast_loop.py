@@ -27,7 +27,7 @@ reset-per-fold mode up to float reassociation (verified in tests).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -14,16 +14,14 @@ WORST epoch; we keep the best.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from fcsr_tpu.core.normalize import symmetric_normalize
-from fcsr_tpu.models.gat_unet import GATGraphUnet, svd_node_features
+from fcsr_tpu.models.gat_unet import GATGraphUnet
 from fcsr_tpu.train.generic_loop import PlateauScheduler
 from fcsr_tpu.train.losses import intermediate_recon_loss, offdiag_mse_loss
 

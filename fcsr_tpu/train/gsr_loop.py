@@ -12,9 +12,9 @@ overhead.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import optax
 
 from fcsr_tpu.core.normalize import normalize_adj, pad_hr_adj, unpad
 from fcsr_tpu.models.gsr import GSRNet
-from fcsr_tpu.train.losses import gsr_composite_loss, l1
+from fcsr_tpu.train.losses import gsr_composite_loss
 
 __all__ = ["GSRTrainConfig", "init_gsr", "precompute_spectral",
            "train_gsr_fold", "evaluate_gsr", "predict_gsr"]

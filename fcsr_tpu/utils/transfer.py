@@ -15,7 +15,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["device_put_fast", "to_host"]
