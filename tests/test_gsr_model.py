@@ -209,3 +209,34 @@ def test_evaluate_skips_all_zero_and_fills_diag(rng):
     assert preds.shape[0] == 3
     assert np.all(np.diagonal(gts, axis1=1, axis2=2) == 1.0)
     assert np.isfinite(mae)
+
+
+def test_gsr_layer_standalone_batched(rng):
+    """BASELINE config #2: the spectral upsampling layer alone — batched
+    eigh + learnable-W propagation, vmapped, with gradients."""
+    import jax.numpy as jnp
+    from fcsr_tpu.core.normalize import normalize_adj
+    from fcsr_tpu.models.gsr import GSRLayer
+
+    lr_dim, hr_dim, b = 20, 32, 4
+    layer = GSRLayer(hr_dim=hr_dim, lr_dim=lr_dim)
+    adjs = jnp.asarray(np.stack([
+        normalize_adj(random_symmetric(rng, lr_dim)) for _ in range(b)]))
+    feats = jnp.asarray(rng.random((b, lr_dim, hr_dim)).astype(np.float32))
+    _, u = jnp.linalg.eigh(adjs)
+    variables = layer.init(jax.random.PRNGKey(0), adjs[0], feats[0])
+
+    def batched(variables, adjs, feats, u):
+        return jax.vmap(lambda a, f, uu: layer.apply(variables, a, f,
+                                                     u_lr=uu))(adjs, feats, u)
+
+    adj_out, x_out = batched(variables, adjs, feats, u)
+    assert adj_out.shape == (b, hr_dim, hr_dim)
+    assert x_out.shape == (b, hr_dim, hr_dim)
+    assert np.isfinite(np.asarray(adj_out)).all()
+
+    # gradient flows into the learnable weights
+    g = jax.grad(lambda v: jnp.sum(batched(v, adjs, feats, u)[1]))(variables)
+    gw = np.asarray(g["params"]["weights"])
+    assert gw.shape == (hr_dim, lr_dim)
+    assert np.abs(gw).sum() > 0
