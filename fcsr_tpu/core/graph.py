@@ -52,49 +52,75 @@ def to_dense_adj(graph: COOGraph) -> np.ndarray:
 
 
 def topological_node_features(w) -> Dict[str, jnp.ndarray]:
-    """Batched on-device topological node features
-    (ref: dataset.py:34-99 ``calculate_topological_metrics``):
+    """Batched on-device topological node features, replicating the
+    reference's ``calculate_topological_metrics`` exactly
+    (ref: dataset.py:14-102):
 
-      degree      — unweighted neighbor count
-      strength    — weighted degree (row sum)
-      clustering  — unweighted local clustering coefficient
-      closeness   — the reference's proxy: 1 / (strength + eps)
-                    (ref: dataset.py:63-68 inverts summed weights rather
-                    than running shortest paths; reproduced as-is)
-      eigenvector — 50-step power iteration on W (ref: dataset.py:74-82)
+      degree          — WEIGHTED row sum (the reference's 'degree')
+      strength        — identical to degree (ref clones it, dataset.py:25)
+      clustering      — diag(W^3) / (degree * (degree - 1)), weighted,
+                        no 1/2 factor (ref: dataset.py:27-35)
+      avg_neighbor_degree — (W @ degree) / |{j : w_ij > 0}| (ref: :38-44)
+      degree_centrality   — degree / (n - 1) (ref: :47)
+      closeness       — rowsum((I - W)^-1) / (n - 1): a resolvent proxy,
+                        not shortest paths (ref: :49-52; reproduced as-is,
+                        including its numerical fragility when the
+                        spectral radius of W is near 1)
+      betweenness     — zeros: the reference's loop is an unfinished
+                        ``pass`` stub (ref: :55-61); use
+                        evalx.centrality.betweenness_centrality for a real
+                        value
+      eigenvector     — 100-step power iteration on W, L2-normalized
+                        (ref: :63-67)
 
-    The reference's betweenness branch is an unfinished ``pass`` stub
-    (ref: dataset.py:84-87); the faithful evaluator's pivot-Brandes kernel
-    (evalx.centrality) is the supported way to get betweenness.
-    Input (B, n, n) or (n, n); returns a dict of (..., n) arrays.
+    Input (B, n, n) or (n, n); returns a dict of (..., n) arrays plus
+    ``stacked``: the reference's (..., n, 8) feature tensor layout
+    (ref: dataset.py:87-100).
     """
-    w = jnp.asarray(w)
-    adj = (w > 0).astype(w.dtype)
+    w = jnp.asarray(w, dtype=jnp.float32)
     n = w.shape[-1]
+
+    degree = w.sum(axis=-1)
+    strength = degree
+
+    w3 = jnp.matmul(w, jnp.matmul(w, w, preferred_element_type=jnp.float32),
+                    preferred_element_type=jnp.float32)
+    triangles = jnp.diagonal(w3, axis1=-2, axis2=-1)
+    possible = degree * (degree - 1.0)
+    clustering = jnp.where(possible > 0,
+                           triangles / jnp.where(possible > 0, possible,
+                                                 1.0), 0.0)
+
+    neighbor_deg = jnp.einsum("...ij,...j->...i", w, degree)
+    neighbor_cnt = (w > 0).sum(axis=-1).astype(w.dtype)
+    avg_neighbor_degree = jnp.where(
+        neighbor_cnt > 0,
+        neighbor_deg / jnp.where(neighbor_cnt > 0, neighbor_cnt, 1.0), 0.0)
+
+    degree_centrality = degree / (n - 1)
+
     eye = jnp.eye(n, dtype=w.dtype)
-    adj = adj * (1 - eye)
+    resolvent = jnp.linalg.inv(eye - w)
+    closeness = resolvent.sum(axis=-1) / (n - 1)
 
-    degree = adj.sum(axis=-1)
-    strength = (w * (1 - eye)).sum(axis=-1)
-
-    # triangles through i = (A^3)_ii / 2 ; clustering = 2T / (d (d - 1))
-    a2 = jnp.matmul(adj, adj, preferred_element_type=jnp.float32)
-    tri = jnp.einsum("...ij,...ji->...i", a2, adj) / 2.0
-    denom = degree * (degree - 1.0)
-    clustering = jnp.where(denom > 0, 2.0 * tri / jnp.where(denom > 0,
-                                                            denom, 1.0), 0.0)
-
-    closeness = 1.0 / (strength + 1e-9)
+    betweenness = jnp.zeros_like(degree)
 
     def ec_one(wm):
         x = jnp.ones((wm.shape[-1],), dtype=wm.dtype)
-        for _ in range(50):
+        for _ in range(100):
             x = wm @ x
-            x = x / (jnp.linalg.norm(x) + 1e-12)
+            x = x / jnp.linalg.norm(x)
         return x
 
     ec = ec_one(w) if w.ndim == 2 else jax.vmap(ec_one)(w)
 
-    return {"degree": degree, "strength": strength,
-            "clustering": clustering, "closeness": closeness,
-            "eigenvector": ec}
+    feats = {"degree": degree, "strength": strength,
+             "clustering": clustering,
+             "avg_neighbor_degree": avg_neighbor_degree,
+             "degree_centrality": degree_centrality,
+             "closeness": closeness, "betweenness": betweenness,
+             "eigenvector": ec}
+    feats["stacked"] = jnp.stack(
+        [degree, strength, clustering, avg_neighbor_degree,
+         degree_centrality, closeness, betweenness, ec], axis=-1)
+    return feats

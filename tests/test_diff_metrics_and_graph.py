@@ -67,33 +67,58 @@ def test_evaluate_model_mae(rng):
     assert evaluate_model_mae(a, a * 0.0) > 0
 
 
-def test_topological_features_vs_networkx(rng):
-    import networkx as nx
-    w = random_symmetric(rng, 15, density=0.4).astype(np.float64)
+def test_topological_features_match_reference_formulas(rng):
+    """Numpy mirror of the reference's exact formulas
+    (dataset.py:14-102): weighted 'degree', weighted triangle clustering
+    without the 1/2 factor, resolvent closeness, power-iteration EC,
+    zero betweenness stub."""
+    n = 15
+    # scale down so the resolvent (I - W)^-1 is well-conditioned
+    w = (random_symmetric(rng, n, density=0.4) * (0.9 / n)).astype(
+        np.float32)
     feats = topological_node_features(w)
-    g = nx.from_numpy_array(w)
 
-    deg = np.array([g.degree(i) for i in range(15)], dtype=float)
-    np.testing.assert_allclose(np.asarray(feats["degree"]), deg)
+    degree = w.sum(1)
+    np.testing.assert_allclose(np.asarray(feats["degree"]), degree,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(feats["strength"]), degree,
+                               rtol=1e-5)
 
-    strength = np.array([g.degree(i, weight="weight") for i in range(15)])
-    np.testing.assert_allclose(np.asarray(feats["strength"]), strength,
-                               atol=1e-6)
-
-    clust = nx.clustering(g)  # unweighted
-    want_c = np.array([clust[i] for i in range(15)])
+    tri = np.diagonal(w @ w @ w)
+    poss = degree * (degree - 1)
+    want_c = np.where(poss > 0, tri / np.where(poss > 0, poss, 1), 0.0)
     np.testing.assert_allclose(np.asarray(feats["clustering"]), want_c,
-                               atol=1e-6)
+                               rtol=1e-4)
 
-    # closeness proxy: 1 / (strength + eps) (faithful to dataset.py:63-68)
-    np.testing.assert_allclose(np.asarray(feats["closeness"]),
-                               1.0 / (strength + 1e-9), rtol=1e-5)
+    cnt = (w > 0).sum(1)
+    want_and = np.where(cnt > 0, (w @ degree) / np.where(cnt > 0, cnt, 1),
+                        0.0)
+    np.testing.assert_allclose(np.asarray(feats["avg_neighbor_degree"]),
+                               want_and, rtol=1e-4)
+
+    np.testing.assert_allclose(np.asarray(feats["degree_centrality"]),
+                               degree / (n - 1), rtol=1e-5)
+
+    want_close = np.linalg.inv(np.eye(n) - w).sum(1) / (n - 1)
+    np.testing.assert_allclose(np.asarray(feats["closeness"]), want_close,
+                               rtol=1e-3)
+
+    assert np.all(np.asarray(feats["betweenness"]) == 0)  # faithful stub
+
+    ec = np.asarray(feats["eigenvector"])
+    evals, evecs = np.linalg.eigh(w.astype(np.float64))
+    lead = np.abs(evecs[:, -1])
+    np.testing.assert_allclose(np.abs(ec) / np.linalg.norm(ec), lead,
+                               atol=1e-3)
+
+    assert feats["stacked"].shape == (n, 8)
 
     # batched matches per-sample
     batch = np.stack([w, w * 0.5])
     fb = topological_node_features(batch)
     np.testing.assert_allclose(np.asarray(fb["degree"][0]),
-                               np.asarray(feats["degree"]))
+                               np.asarray(feats["degree"]), rtol=1e-5)
+    assert fb["stacked"].shape == (2, n, 8)
 
 
 def test_glorot_helpers():
