@@ -23,3 +23,15 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from fcsr_tpu.core.vectorize import MatrixVectorizer  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level access to the heavyweight subpackages
+    (``fcsr_tpu.pipelines``, ``fcsr_tpu.train`` ...) without importing
+    jax-compiled machinery at package-import time."""
+    import importlib
+
+    if name in {"core", "data", "models", "train", "evalx", "parallel",
+                "iox", "utils", "native", "pipelines", "cli"}:
+        return importlib.import_module(f"fcsr_tpu.{name}")
+    raise AttributeError(f"module 'fcsr_tpu' has no attribute {name!r}")
