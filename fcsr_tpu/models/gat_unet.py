@@ -156,6 +156,10 @@ class GATGraphUnet(nn.Module):
     dim: int = 16
     heads: int = 4
     drop_p: float = 0.01
+    # NOTE: the reference's skip branch (unet-transformer.py:354-359) is
+    # latently shape-broken for its shipped config — per-level feature
+    # dims grow as int(dim/k), so X.add(down_outs[...]) mismatches unless
+    # all ks == 1; the shipped run uses skip=False. Same constraint here.
     skip: bool = False
 
     def setup(self):
