@@ -42,7 +42,10 @@ def main():
     data = load_or_synthesize(os.environ.get("FCSR_DATA_DIR", "data"),
                               n_train=167, n_test=112, seed=42)
 
-    cfg = GSRTrainConfig()  # reference config: 200 epochs, lr 1e-4
+    # reference config (200 epochs, lr 1e-4) with the fused Pallas tail
+    # (identical math to the unfused path — see models/fused_tail.py and
+    # the trajectory-equivalence test)
+    cfg = GSRTrainConfig(fused_tail=True)
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)

@@ -66,15 +66,37 @@ def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
     template = model.init(jax.random.PRNGKey(0), dummy, u_lr=dummy)
     _, unravel = ravel_pytree(template)
 
-    def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
-        params = unravel(flat_params)
-        pred, net_outs, start_outs, _ = model.apply(params, a_norm_m,
-                                                    u_lr=u_lr,
-                                                    a_norm=a_norm_m)
-        pred = unpad(pred, cfg.padding)
-        w = params["params"]["layer"]["weights"]
-        return gsr_composite_loss(pred, net_outs, start_outs, w, u_hr,
-                                  hr_m, cfg.lmbda)
+    if cfg.fused_tail:
+        from fcsr_tpu.models.fused_tail import tail_loss_fused
+        from fcsr_tpu.models.gsr import GraphUnet
+        from fcsr_tpu.train.losses import l1
+        unet = GraphUnet(cfg.ks, cfg.lr_dim, cfg.hr_dim, dim=cfg.hr_dim)
+        eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
+
+        def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
+            params = unravel(flat_params)
+            net_outs, start_outs = unet.apply(
+                {"params": params["params"]["net"]}, a_norm_m, eye)
+            w = params["params"]["layer"]["weights"]
+            w1 = params["params"]["gc1"]["weight"]
+            w2 = params["params"]["gc2"]["weight"]
+            tail = tail_loss_fused(
+                w, w1, w2, net_outs, u_lr, u_hr, hr_m,
+                interpret=jax.default_backend() != "tpu")
+            loss = cfg.lmbda * l1(net_outs, start_outs) + tail
+            # reconstruction error = tail minus the spectral term
+            err = tail - jnp.mean(jnp.abs(w - u_hr))
+            return loss, err
+    else:
+        def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
+            params = unravel(flat_params)
+            pred, net_outs, start_outs, _ = model.apply(params, a_norm_m,
+                                                        u_lr=u_lr,
+                                                        a_norm=a_norm_m)
+            pred = unpad(pred, cfg.padding)
+            w = params["params"]["layer"]["weights"]
+            return gsr_composite_loss(pred, net_outs, start_outs, w, u_hr,
+                                      hr_m, cfg.lmbda)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

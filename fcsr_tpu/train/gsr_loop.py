@@ -41,6 +41,9 @@ class GSRTrainConfig:
     hidden_dim: int = 268
     padding: int = 0
     ks: Tuple[float, ...] = (0.9, 0.7, 0.6, 0.5)
+    # fold the spectral-layer + decoder + loss forward/backward into one
+    # Pallas kernel (see models/fused_tail.py); identical math, fewer ops
+    fused_tail: bool = False
 
     def model(self) -> GSRNet:
         return GSRNet(ks=self.ks, lr_dim=self.lr_dim, hr_dim=self.hr_dim,
