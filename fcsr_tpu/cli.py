@@ -57,6 +57,9 @@ def build_parser():
                    help="(--fast only) checkpoint file for exact "
                         "mid-training save/resume")
     g.add_argument("--checkpoint-every", type=int, default=None)
+    g.add_argument("--fused-tail", action="store_true",
+                   help="run the spectral-layer+decoder+loss segment as "
+                        "one fused Pallas kernel (TPU; identical math)")
 
     m = trs.add_parser("mlp")
     _add_common(m)
@@ -127,7 +130,8 @@ def main(argv=None):
             from fcsr_tpu.pipelines import run_gsr_cv, run_gsr_cv_fast
             from fcsr_tpu.train import GSRTrainConfig
             cfg = GSRTrainConfig(epochs=args.epochs, lr=args.lr,
-                                 lmbda=args.lmbda)
+                                 lmbda=args.lmbda,
+                                 fused_tail=args.fused_tail)
             if args.fast:
                 result = run_gsr_cv_fast(
                     data, cfg, splits=args.splits, seed=args.seed,
