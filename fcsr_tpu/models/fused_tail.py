@@ -29,6 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fcsr_tpu.core.normalize import fill_diagonal, normalize_adj, symmetrize
 
+def _mm(a, b):
+    """Error-compensated bf16x3 matmul for use inside Mosaic kernels.
+
+    Mosaic supports only DEFAULT dot precision (single-pass bf16; HIGHEST
+    crashes the TPU compile service, HIGH is rejected), so the three-pass
+    decomposition a_hi@b_hi + a_hi@b_lo + a_lo@b_hi is built manually —
+    same accuracy class as XLA's f32 matmuls (~1e-6 relative)."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_lo = b - b_hi
+    dot = lambda x, y: jnp.matmul(x, y, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
 __all__ = ["tail_loss_fused", "tail_loss_reference"]
 
 
@@ -42,18 +56,14 @@ def _tail_loss(w_gsr, w1, w2, f, u_lr, u_hr, hr):
     lmbda * L1(net_outs, start_gcn_outs) term involves only U-Net tensors
     and stays outside the kernel)."""
     hr_dim = w_gsr.shape[0]
-    b_small = jnp.matmul(w_gsr, u_lr.T, preferred_element_type=jnp.float32)
-    f_d = jnp.abs(jnp.matmul(b_small, f, preferred_element_type=jnp.float32))
+    b_small = _mm(w_gsr, u_lr.T)
+    f_d = jnp.abs(_mm(b_small, f))
     f_d = fill_diagonal(f_d, 1.0)
     adj = normalize_adj(f_d)
-    x_out = jnp.matmul(adj, adj.T, preferred_element_type=jnp.float32)
+    x_out = _mm(adj, adj.T)
     x_out = jnp.abs(fill_diagonal(symmetrize(x_out), 1.0))
-    h1 = jnp.matmul(adj, jnp.matmul(x_out, w1,
-                                    preferred_element_type=jnp.float32),
-                    preferred_element_type=jnp.float32)
-    h2 = jnp.matmul(adj, jnp.matmul(h1, w2,
-                                    preferred_element_type=jnp.float32),
-                    preferred_element_type=jnp.float32)
+    h1 = _mm(adj, _mm(x_out, w1))
+    h2 = _mm(adj, _mm(h1, w2))
     pred = jnp.abs(fill_diagonal(symmetrize(h2), 1.0))
     recon = jnp.mean(jnp.abs(pred - hr))
     spectral = jnp.mean(jnp.abs(w_gsr - u_hr))

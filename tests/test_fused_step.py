@@ -1,0 +1,96 @@
+"""Rank-select (gather-free) GSR step formulation: bit-exact equivalence
+with the top_k/gather model under XLA, and the fused kernels in interpret
+mode. (On-hardware status: see models/fused_step.py docstring.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcsr_tpu.core.normalize import normalize_adj, unpad
+from fcsr_tpu.models.fused_step import (
+    _topk_projection,
+    step_loss_pure,
+    step_value_and_grad_fused,
+    unet_forward_rankselect,
+)
+from fcsr_tpu.train import GSRTrainConfig, init_gsr
+from fcsr_tpu.train.losses import gsr_composite_loss
+from tests.conftest import random_symmetric
+
+CFG = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32, ks=(0.9, 0.7))
+
+
+def test_topk_projection_matches_lax_topk(rng):
+    for n, k in [(160, 144), (101, 61), (13, 5)]:
+        scores = jnp.asarray(rng.random(n).astype(np.float32))
+        proj = np.asarray(_topk_projection(scores, k))
+        vals, idx = jax.lax.top_k(scores, k)
+        want = np.zeros((k, n), dtype=np.float32)
+        want[np.arange(k), np.asarray(idx)] = 1.0
+        np.testing.assert_array_equal(proj, want)
+
+
+def _setup(rng):
+    model, params, _, _ = init_gsr(CFG, jax.random.PRNGKey(0))
+    lr_m = random_symmetric(rng, CFG.lr_dim)
+    hr_m = jnp.asarray(random_symmetric(rng, CFG.hr_dim))
+    a_norm = normalize_adj(jnp.asarray(lr_m))
+    _, u_lr = jnp.linalg.eigh(a_norm)
+    u_hr = jnp.asarray(rng.normal(
+        size=(CFG.hr_dim, CFG.lr_dim)).astype(np.float32))
+    return model, params, a_norm, hr_m, u_lr, u_hr
+
+
+def test_rankselect_step_loss_bitexact_vs_model(rng):
+    """step_loss_pure (comparison-matmul pooling) == the gather/top_k
+    GSRNet loss, value AND grads, bit-for-bit under XLA."""
+    model, params, a_norm, hr_m, u_lr, u_hr = _setup(rng)
+
+    def loss_unfused(params):
+        pred, net_outs, start_outs, _ = model.apply(params, a_norm,
+                                                    u_lr=u_lr,
+                                                    a_norm=a_norm)
+        w = params["params"]["layer"]["weights"]
+        return gsr_composite_loss(unpad(pred, 0), net_outs, start_outs, w,
+                                  u_hr, hr_m, CFG.lmbda)
+
+    (l0, e0), g0 = jax.value_and_grad(loss_unfused, has_aux=True)(params)
+    (l1, e1), g1 = jax.value_and_grad(
+        lambda p: step_loss_pure(p, a_norm, hr_m, u_lr, u_hr, CFG.ks,
+                                 CFG.lr_dim, CFG.lmbda),
+        has_aux=True)(params)
+    np.testing.assert_allclose(float(l0), float(l1), atol=2e-6)
+    np.testing.assert_allclose(float(e0), float(e1), atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_fused_step_kernel_interpret(rng):
+    model, params, a_norm, hr_m, u_lr, u_hr = _setup(rng)
+    (l0, e0), g0 = jax.value_and_grad(
+        lambda p: step_loss_pure(p, None, hr_m, u_lr, u_hr, CFG.ks,
+                                 CFG.lr_dim, CFG.lmbda),
+        has_aux=True)(params)
+    l1, e1, g1 = step_value_and_grad_fused(
+        params, u_lr, u_hr, hr_m, CFG.ks, CFG.lr_dim, CFG.hr_dim,
+        CFG.hidden_dim, CFG.lmbda, interpret=True)
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_unet_rankselect_matches_module(rng):
+    model, params, a_norm, *_ = _setup(rng)
+    from fcsr_tpu.models.gsr import GraphUnet
+    unet = GraphUnet(CFG.ks, CFG.lr_dim, CFG.hr_dim, dim=CFG.hr_dim)
+    eye = jnp.eye(CFG.lr_dim, dtype=jnp.float32)
+    want_net, want_start = unet.apply(
+        {"params": params["params"]["net"]}, a_norm, eye)
+    got_net, got_start = unet_forward_rankselect(params["params"]["net"],
+                                                 CFG.ks, CFG.lr_dim)
+    np.testing.assert_allclose(np.asarray(got_net), np.asarray(want_net),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_start),
+                               np.asarray(want_start), atol=2e-6)
