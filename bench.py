@@ -45,7 +45,7 @@ def main():
     # reference config (200 epochs, lr 1e-4) with the fused Pallas tail
     # (identical math to the unfused path — see models/fused_tail.py and
     # the trajectory-equivalence test)
-    cfg = GSRTrainConfig(fused_tail=True)
+    cfg = GSRTrainConfig(fused_tail=True, fused_unet=True)
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)

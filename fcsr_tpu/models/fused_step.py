@@ -209,10 +209,72 @@ def _make_unet_fused(ks: tuple, lr_dim: int, hr_dim: int,
 
 def unet_fused(net_params, ks: Sequence[float], lr_dim: int, hr_dim: int,
                interpret: bool = False):
-    """Differentiable fused U-Net forward: (net_outs, start_gcn_outs)."""
+    """Differentiable fused U-Net forward: (net_outs, start_gcn_outs).
+    (Forward and backward both as kernels — the backward kernel currently
+    crashes the TPU compile service; prefer unet_fused_fwdonly.)"""
     leaves, treedef = jax.tree_util.tree_flatten(net_params)
     fn = _make_unet_fused(tuple(ks), lr_dim, hr_dim, bool(interpret),
                           (treedef,))
+    return fn(leaves)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_unet_fwdonly(ks: tuple, lr_dim: int, hr_dim: int,
+                       interpret: bool, treedef_container: tuple):
+    """Fused U-Net FORWARD kernel with an XLA backward over the same
+    bf16x3 pure function (custom_vjp). The backward rematerializes; both
+    sides evaluate the identical bf16x3 decomposition, so any fwd/bwd
+    inconsistency is confined to accumulation-order rounding (~1e-7),
+    which can matter only at exact top-k score ties."""
+    (treedef,) = treedef_container
+    n_leaves = treedef.num_leaves
+
+    def flat_unet(leaves):
+        p = jax.tree_util.tree_unflatten(treedef, leaves)
+        return unet_forward_rankselect(p, ks, lr_dim)
+
+    def fwd_kernel(*refs):
+        leaf_refs, out_refs = refs[:n_leaves], refs[n_leaves:]
+        # 1-D leaves (biases) arrive reshaped to (1, n) — see below;
+        # no genuine weight matrix has a leading dim of 1, so unwrap those
+        leaves = [r[0] if (len(r.shape) == 2 and r.shape[0] == 1)
+                  else r[:] for r in leaf_refs]
+        net, start = flat_unet(leaves)
+        out_refs[0][:] = net
+        out_refs[1][:] = start
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct((lr_dim, hr_dim), jnp.float32),) * 2
+
+    @jax.custom_vjp
+    def unet(leaves):
+        # reshape 1-D leaves to (1, n): keeps every kernel operand >= 2-D
+        # so vmap-over-folds (which prepends a mapped axis) still satisfies
+        # Mosaic's trailing-two-dims block constraints
+        staged = [l[None, :] if l.ndim == 1 else l for l in leaves]
+        return pl.pallas_call(
+            fwd_kernel, in_specs=[vmem] * n_leaves,
+            out_specs=(vmem, vmem), out_shape=out_shape,
+            interpret=interpret)(*staged)
+
+    def fwd(leaves):
+        return unet(leaves), tuple(leaves)
+
+    def bwd(leaves, cts):
+        _, vjp = jax.vjp(flat_unet, list(leaves))
+        (grads,) = vjp(cts)
+        return (grads,)
+
+    unet.defvjp(fwd, bwd)
+    return unet
+
+
+def unet_fused_fwdonly(net_params, ks: Sequence[float], lr_dim: int,
+                       hr_dim: int, interpret: bool = False):
+    """Differentiable U-Net with a fused forward kernel + XLA backward."""
+    leaves, treedef = jax.tree_util.tree_flatten(net_params)
+    fn = _make_unet_fwdonly(tuple(ks), lr_dim, hr_dim, bool(interpret),
+                            (treedef,))
     return fn(leaves)
 
 

@@ -73,10 +73,18 @@ def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
         unet = GraphUnet(cfg.ks, cfg.lr_dim, cfg.hr_dim, dim=cfg.hr_dim)
         eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
 
+        def run_unet(params, a_norm_m):
+            if cfg.fused_unet:
+                from fcsr_tpu.models.fused_step import unet_fused_fwdonly
+                return unet_fused_fwdonly(
+                    params["params"]["net"], cfg.ks, cfg.lr_dim,
+                    cfg.hr_dim, interpret=jax.default_backend() != "tpu")
+            return unet.apply({"params": params["params"]["net"]},
+                              a_norm_m, eye)
+
         def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
             params = unravel(flat_params)
-            net_outs, start_outs = unet.apply(
-                {"params": params["params"]["net"]}, a_norm_m, eye)
+            net_outs, start_outs = run_unet(params, a_norm_m)
             w = params["params"]["layer"]["weights"]
             w1 = params["params"]["gc1"]["weight"]
             w2 = params["params"]["gc2"]["weight"]

@@ -44,6 +44,9 @@ class GSRTrainConfig:
     # fold the spectral-layer + decoder + loss forward/backward into one
     # Pallas kernel (see models/fused_tail.py); identical math, fewer ops
     fused_tail: bool = False
+    # run the U-Net forward as one fused kernel too (rank-select
+    # formulation, models/fused_step.py; XLA backward)
+    fused_unet: bool = False
 
     def model(self) -> GSRNet:
         return GSRNet(ks=self.ks, lr_dim=self.lr_dim, hr_dim=self.hr_dim,

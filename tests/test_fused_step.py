@@ -94,3 +94,50 @@ def test_unet_rankselect_matches_module(rng):
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(got_start),
                                np.asarray(want_start), atol=2e-6)
+
+
+def test_unet_fused_fwdonly_interpret(rng):
+    """Fused-forward U-Net (interpret) + XLA backward matches the pure
+    rank-select function's value and gradients."""
+    import jax.numpy as jnp
+    from fcsr_tpu.models.fused_step import unet_fused_fwdonly
+    model, params, _, _ = init_gsr(CFG, jax.random.PRNGKey(0))
+    net_params = params["params"]["net"]
+
+    def loss_fused(net_params):
+        net, start = unet_fused_fwdonly(net_params, CFG.ks, CFG.lr_dim,
+                                        CFG.hr_dim, interpret=True)
+        return jnp.mean(jnp.abs(net - start)) + jnp.sum(net * net) * 1e-3
+
+    def loss_ref(net_params):
+        net, start = unet_forward_rankselect(net_params, CFG.ks,
+                                             CFG.lr_dim)
+        return jnp.mean(jnp.abs(net - start)) + jnp.sum(net * net) * 1e-3
+
+    l1, g1 = jax.value_and_grad(loss_fused)(net_params)
+    l0, g0 = jax.value_and_grad(loss_ref)(net_params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fully_fused_trainer_matches_unfused(rng):
+    """fast trainer with fused_tail+fused_unet (interpret on CPU) tracks
+    the unfused trainer's loss history."""
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    d = load_or_synthesize(None, n_train=6, n_test=1, seed=3)
+    lr = d["lr_train"][:, :20, :20].copy()
+    hr = d["hr_train"][:, :32, :32].copy()
+    folds = kfold_indices(6, 2, seed=42)
+    base = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                          ks=(0.9, 0.7), epochs=2)
+    _, lh0, _ = GSRFoldRunner(base, lr, hr, folds).train()
+    fused = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                           ks=(0.9, 0.7), epochs=2, fused_tail=True,
+                           fused_unet=True)
+    _, lh1, _ = GSRFoldRunner(fused, lr, hr, folds).train()
+    np.testing.assert_allclose(np.asarray(lh0), np.asarray(lh1), atol=1e-4)
