@@ -42,16 +42,25 @@ __all__ = [
 ]
 
 
-def vec_len(n: int, include_diagonal: bool = False) -> int:
-    """Length of the vectorized form of an n x n symmetric matrix."""
+def vec_len(n: int, include_diagonal: bool = False,
+            ordering: str = "rowmajor") -> int:
+    """Length of the vectorized form of an n x n symmetric matrix.
+
+    The two orderings disagree when ``include_diagonal``: the column-major
+    form interleaves one sub-diagonal element per column except the last
+    (pair (col+1, col) requires col+1 < n -> n-1 extras, ref:
+    utils/matrix_vectorizer.py:52-57), while the row-major anti-vectorize
+    layout appends all n true-diagonal entries (ref:
+    utils/matrix_vectorizer.py:90-95).
+    """
     base = n * (n - 1) // 2
-    if include_diagonal:
-        # column-major form appends one sub-diagonal element per column
-        # except the last (pair (col+1, col) requires col+1 < n); the
-        # row-major form appends the n diagonal entries.  Both add the same
-        # count only for the row-major layout; keep them distinct.
+    if not include_diagonal:
+        return base
+    if ordering == "colmajor":
+        return base + n - 1
+    if ordering == "rowmajor":
         return base + n
-    return base
+    raise ValueError(f"unknown ordering {ordering!r}")
 
 
 @functools.lru_cache(maxsize=None)

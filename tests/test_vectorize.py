@@ -118,6 +118,26 @@ def test_vec_len():
     assert vec_len(268) == 35778
 
 
+def test_vec_len_with_diagonal_matches_index_maps():
+    # the two orderings emit DIFFERENT counts with include_diagonal; vec_len
+    # must match the actual index maps / emitted vectors for both
+    from fcsr_tpu.core.vectorize import (triu_indices_colmajor,
+                                         triu_indices_rowmajor)
+    for n in (5, 8, 160):
+        rows, _ = triu_indices_colmajor(n, include_diagonal=True)
+        assert vec_len(n, True, "colmajor") == len(rows)
+        assert vec_len(n, True, "colmajor") == n * (n - 1) // 2 + n - 1
+        rm = len(triu_indices_rowmajor(n)[0]) + n  # strict triu + n diagonal
+        assert vec_len(n, True, "rowmajor") == rm
+        m = np.arange(n * n, dtype=np.float32).reshape(n, n)
+        m = (m + m.T) / 2
+        assert len(np.asarray(vectorize(m, True))) == \
+            vec_len(n, True, "colmajor")
+        back = anti_vectorize(np.zeros(vec_len(n, True, "rowmajor"),
+                                       np.float32), n, True)
+        assert back.shape == (n, n)
+
+
 def test_facade_class(rng):
     n = 8
     m = rng.random((n, n)).astype(np.float32)
