@@ -125,11 +125,16 @@ def _loss_fn(params, model: GSRNet, lr, hr, u_lr, u_hr_red,
 
 
 def make_train_fn(model: GSRNet, tx: optax.GradientTransformation,
-                  cfg: GSRTrainConfig):
+                  cfg: GSRTrainConfig, per_step: bool = False):
     """Build the jitted whole-run trainer: nested scan (epochs x subjects)
     of per-sample Adam steps — the exact sequential update order of the
     reference (which iterates subjects in fixed order each epoch,
-    ref: utils/gsr_train.py:23)."""
+    ref: utils/gsr_train.py:23).
+
+    ``per_step=True`` returns the raw (epochs, n_subjects) per-step loss /
+    error histories instead of per-epoch means — the shape the
+    weight-transplant parity harness compares step-by-step against the
+    torch reference (tools/parity_vs_reference.py)."""
 
     loss_fn = partial(_loss_fn, model=model, lmbda=cfg.lmbda,
                       padding=cfg.padding)
@@ -148,6 +153,8 @@ def make_train_fn(model: GSRNet, tx: optax.GradientTransformation,
         def epoch(carry, _):
             carry, stats = jax.lax.scan(
                 sample_step, carry, (lr_stack, hr_stack, u_lr, u_hr_red))
+            if per_step:
+                return carry, stats
             return carry, (jnp.mean(stats[0]), jnp.mean(stats[1]))
 
         (params, opt_state), (loss_hist, err_hist) = jax.lax.scan(

@@ -1,0 +1,107 @@
+"""CI smoke of the north-star parity proof: weight-transplant trajectory
+comparison against the ACTUAL torch reference (read-only checkout at
+/root/reference). Full-scale results live in PARITY.md / outputs/parity/;
+this is the small always-on version (2 epochs x 8 subjects = 16 steps).
+
+Skipped automatically when the reference checkout is absent.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "parity_vs_reference.py")
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not mounted")
+
+
+def _tools():
+    spec = importlib.util.spec_from_file_location("parity_tools", TOOLS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_torch_interop_roundtrip():
+    """flax -> torch-state -> flax is the identity on the param tree."""
+    import jax
+
+    from fcsr_tpu.iox.torch_interop import (flax_to_reference_state,
+                                            reference_state_to_flax)
+    from fcsr_tpu.train import GSRTrainConfig, init_gsr
+
+    cfg = GSRTrainConfig()
+    _, params, _, _ = init_gsr(cfg, jax.random.PRNGKey(3))
+    state = flax_to_reference_state(params)
+    assert state["layer.weights"].shape == (268, 160)
+    assert state["net.start_gcn.proj.weight"].shape == (268, 160)  # (out,in)
+    assert state["gc1.weight"].shape == (268, 268)
+    back = reference_state_to_flax(state)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[path])
+
+
+@needs_reference
+def test_torch_state_dict_names_match_reference_model():
+    """Our converter's key set is exactly the reference GSRNet's
+    state_dict key set (so transplants load without strict=False)."""
+    import sys
+
+    import jax
+    import torch
+
+    from fcsr_tpu.iox.torch_interop import flax_to_reference_state
+    from fcsr_tpu.train import GSRTrainConfig, init_gsr
+
+    sys.path.insert(0, REFERENCE)
+    from models.gsr_model import GSRNet as RefGSRNet  # noqa: E402
+
+    class Args:
+        lr_dim, hr_dim, hidden_dim, padding = 160, 268, 268, 0
+
+    ref = RefGSRNet([0.9, 0.7, 0.6, 0.5], Args())
+    _, params, _, _ = init_gsr(GSRTrainConfig(), jax.random.PRNGKey(0))
+    state = flax_to_reference_state(params)
+    assert set(state) == set(ref.state_dict())
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in state.items()})
+
+
+@needs_reference
+@pytest.mark.slow
+def test_transplant_trajectory_parity_smoke():
+    """Identical init + identical data + identical eigenvectors ->
+    per-step losses and final val MAE agree (f32, 16 steps)."""
+    import torch
+
+    from fcsr_tpu.data import load_or_synthesize
+
+    tools = _tools()
+    epochs, n, n_train, n_val = 2, 12, 8, 4
+    lr, lmbda = 1e-3, 16.0
+    data = load_or_synthesize(None, n_train=n, n_test=1, seed=42,
+                              flavor="lift")
+
+    u_lr, u_hr_red = tools.torch_spectral(data["lr_train"][:n_train],
+                                          data["hr_train"][:n_train],
+                                          torch.float32)
+    init_state, ref_losses, _, ref_mae = tools.run_reference_transplant(
+        data, epochs, lr, lmbda, n_train, n_val)
+    our_losses, _, our_mae = tools.run_ours_transplant(
+        data, init_state, u_lr, u_hr_red, epochs, lr, lmbda, n_train, n_val)
+
+    d = np.abs(ref_losses - our_losses)
+    rel = d / np.maximum(np.abs(ref_losses), 1e-12)
+    # first step: pure forward/backward/Adam parity, no trajectory drift
+    assert d[0, 0] < 1e-5, f"first-step loss delta {d[0, 0]}"
+    # whole trajectory: relative agreement at f32 rounding scale
+    assert rel.max() < 2e-3, f"max relative loss delta {rel.max()}"
+    # the north-star acceptance criterion
+    assert abs(ref_mae - our_mae) < 1e-3, (ref_mae, our_mae)
