@@ -48,6 +48,10 @@ def build_parser():
     g.add_argument("--epochs", type=int, default=200)
     g.add_argument("--lr", type=float, default=1e-4)
     g.add_argument("--lmbda", type=float, default=16.0)
+    g.add_argument("--multichip", action="store_true",
+                   help="shard the fold axis of the fast trainer over all "
+                        "local devices (implies --fast; per-fold math "
+                        "identical to single-device)")
     g.add_argument("--fast", action="store_true",
                    help="fold-parallel clean-CV trainer")
     g.add_argument("--reset-per-fold", action="store_true",
@@ -132,13 +136,14 @@ def main(argv=None):
             cfg = GSRTrainConfig(epochs=args.epochs, lr=args.lr,
                                  lmbda=args.lmbda,
                                  fused_tail=args.fused_tail)
-            if args.fast:
+            if args.fast or args.multichip:
                 result = run_gsr_cv_fast(
                     data, cfg, splits=args.splits, seed=args.seed,
                     full_metrics=args.full_metrics,
                     eval_backend=args.eval_backend,
                     checkpoint_path=args.checkpoint,
-                    checkpoint_every=args.checkpoint_every)
+                    checkpoint_every=args.checkpoint_every,
+                    multichip=args.multichip)
             else:
                 result = run_gsr_cv(data, cfg, splits=args.splits,
                                     seed=args.seed,

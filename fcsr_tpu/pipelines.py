@@ -18,7 +18,8 @@ from fcsr_tpu.train.gsr_loop import (
     train_gsr_fold,
 )
 
-__all__ = ["run_gsr_cv", "run_gsr_cv_fast", "run_mlp_cv", "run_gat_cv"]
+__all__ = ["run_gsr_cv", "run_gsr_cv_fast", "run_mlp_cv", "run_gat_cv",
+           "run_gat_cv_fast"]
 
 
 def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
@@ -132,17 +133,70 @@ def run_gat_cv(data: Dict[str, np.ndarray], splits: int = 3,
             "test_preds": test_preds}
 
 
+def run_gat_cv_fast(data: Dict[str, np.ndarray],
+                    cfg=None, splits: int = 3, seed: int = 42,
+                    full_metrics: bool = False,
+                    eval_backend: str = "device", verbose: bool = False):
+    """Fold-parallel GAT CV: all folds in one vmapped program (see
+    train/gat_loop.py::train_gat_folds_parallel). Same result-dict shape
+    as run_gat_cv."""
+    import jax
+
+    from fcsr_tpu.train.gat_loop import (GATTrainConfig, predict_gat,
+                                         train_gat_folds_parallel)
+
+    cfg = cfg or GATTrainConfig()
+    lr_all = np.asarray(data["lr_train"], dtype=np.float32)
+    hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    folds = kfold_indices(len(lr_all), splits, seed=seed)
+
+    t0 = time.perf_counter()
+    model, best_vars, histories = train_gat_folds_parallel(
+        cfg, lr_all, hr_all, folds, seed=seed, verbose=verbose)
+    t_train = time.perf_counter() - t0
+
+    fold_metrics = []
+    fold_maes = []
+    for j, (tr, va) in enumerate(folds):
+        preds = np.asarray(predict_gat(best_vars[j], model, cfg,
+                                       lr_all[va]))
+        gts = hr_all[va]
+        off = ~np.eye(gts.shape[-1], dtype=bool)
+        fold_maes.append(float(np.abs(preds[:, off] - gts[:, off]).mean()))
+        if full_metrics:
+            from fcsr_tpu.evalx.report import print_metrics
+            fold_metrics.append(print_metrics(gts, preds, fold_i=j,
+                                              backend=eval_backend,
+                                              write_file=False,
+                                              verbose=verbose))
+
+    test_preds = None
+    if data.get("lr_test") is not None:
+        test_preds = np.asarray(predict_gat(best_vars[-1], model, cfg,
+                                            data["lr_test"]))
+    return {"model": model, "variables": best_vars[-1],
+            "variables_per_fold": best_vars, "cfg": cfg,
+            "fold_maes": fold_maes, "mean_mae": float(np.mean(fold_maes)),
+            "fold_metrics": fold_metrics, "histories": histories,
+            "test_preds": test_preds,
+            "timings": {"train": t_train}}
+
+
 def run_gsr_cv_fast(data: Dict[str, np.ndarray],
                     cfg: Optional[GSRTrainConfig] = None,
                     splits: int = 3, seed: int = 42, init_seed: int = 0,
                     full_metrics: bool = False,
                     eval_backend: str = "device",
                     checkpoint_path: Optional[str] = None,
-                    checkpoint_every: Optional[int] = None):
+                    checkpoint_every: Optional[int] = None,
+                    multichip: bool = False):
     """Performance path: clean-CV (fresh model per fold) with all folds
     trained in ONE vmapped program and a flat-vector Adam — see
     fast_loop.py for why this is exact per-fold math, not an
-    approximation. Returns the same result dict shape as run_gsr_cv."""
+    approximation. ``multichip=True`` shards the fold axis over all local
+    devices (zero-collective layout; per-fold math identical — see
+    tests/test_parallel.py). Returns the same result dict shape as
+    run_gsr_cv."""
     from fcsr_tpu.train.fast_loop import (evaluate_gsr_folds,
                                           train_gsr_folds_parallel)
 
@@ -151,12 +205,23 @@ def run_gsr_cv_fast(data: Dict[str, np.ndarray],
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
+    mesh = None
+    if multichip:
+        import jax
+
+        from fcsr_tpu.parallel import batch_mesh
+        devices = jax.devices()
+        # never use more devices than folds — surplus devices would only
+        # host fully-masked padding folds
+        mesh = batch_mesh(devices[:min(len(devices), splits)])
+
     t0 = time.perf_counter()
     model, params_per_fold, loss_hist, err_hist, runner = \
         train_gsr_folds_parallel(cfg, lr_all, hr_all, folds,
                                  init_seed=init_seed,
                                  checkpoint_path=checkpoint_path,
-                                 checkpoint_every=checkpoint_every)
+                                 checkpoint_every=checkpoint_every,
+                                 mesh=mesh)
     t_train = time.perf_counter() - t0
 
     t0 = time.perf_counter()

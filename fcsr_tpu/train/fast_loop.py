@@ -53,11 +53,12 @@ def adam_flat_update(g, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
     return step, m, v
 
 
-@lru_cache(maxsize=16)
-def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
-    """Compiled train / eval programs, cached per (config, epoch-chunk).
-    Both take the WHOLE dataset plus per-fold index plans and gather on
-    device. ``epochs`` overrides cfg.epochs (used for checkpoint chunks)."""
+@lru_cache(maxsize=32)
+def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
+    """Unjitted train / eval program bodies, cached per (config,
+    epoch-chunk). Both take the WHOLE dataset plus per-fold index plans and
+    gather on device. ``epochs`` overrides cfg.epochs (used for checkpoint
+    chunks)."""
     n_epochs = cfg.epochs if epochs is None else epochs
     model = cfg.model()
     dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
@@ -108,7 +109,6 @@ def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
     def train_all(state_f, a_norm_all, hr_all, u_lr_all, u_hr_all,
                   idxs_f, valid_f):
         def fold_train(state, idx, valid):
@@ -141,7 +141,6 @@ def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
         return jax.vmap(fold_train, in_axes=(0, 0, 0))(
             state_f, idxs_f, valid_f)
 
-    @jax.jit
     def eval_all(flat_params_f, a_norm_all, hr_all, u_lr_all, idxs_f,
                  valid_f):
         def fold_eval(flat_params, idx, valid):
@@ -165,6 +164,42 @@ def _build_programs(cfg: GSRTrainConfig, epochs: int = None):
     return model, template, unravel, train_all, eval_all
 
 
+@lru_cache(maxsize=32)
+def _build_programs(cfg: GSRTrainConfig, epochs: int = None, mesh=None):
+    """Jitted train / eval programs.
+
+    With ``mesh`` (a 1-D ``('batch',)`` jax.sharding.Mesh) the FOLD axis is
+    sharded over the devices and the dataset is replicated: k-fold CV is
+    embarrassingly parallel (one independent model per fold), so the
+    partitioned program needs ZERO collectives — each device trains its
+    fold(s) locally, which is the ideal ICI layout for this workload
+    (SURVEY §2.3: the scaling axis is the subject/fold batch; the model
+    itself is a sliver of one core's HBM). Requires the (padded) fold count
+    to be a multiple of the mesh size; GSRFoldRunner pads with masked
+    no-op folds.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, template, unravel, train_all, eval_all = _build_raw_programs(
+        cfg, epochs)
+    if mesh is None:
+        return model, template, unravel, jax.jit(train_all), \
+            jax.jit(eval_all)
+
+    fold = NamedSharding(mesh, P("batch"))
+    rep = NamedSharding(mesh, P())
+    state_sh = (fold, fold, fold, fold)
+    train_sharded = jax.jit(
+        train_all,
+        in_shardings=(state_sh, rep, rep, rep, rep, fold, fold),
+        out_shardings=(state_sh, fold, fold))
+    eval_sharded = jax.jit(
+        eval_all,
+        in_shardings=(fold, rep, rep, rep, fold, fold),
+        out_shardings=(fold, fold))
+    return model, template, unravel, train_sharded, eval_sharded
+
+
 def _pad_plans(folds, which: int, pad_to: int = None):
     """(F, L) padded index + validity arrays for fold element ``which``
     (0 = train indices, 1 = val indices)."""
@@ -179,11 +214,14 @@ def _pad_plans(folds, which: int, pad_to: int = None):
     return np.stack(idxs), np.stack(valids)
 
 
-def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all):
+def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all, mesh=None):
     """Host-side precompute (normalized adjacency + spectral) + one-shot
     flat-staged transfer to HBM. Ships a_norm (what the model actually
     consumes) instead of raw lr. Returns device-resident arrays
-    (a_norm, hr, u_lr, u_hr_reduced)."""
+    (a_norm, hr, u_lr, u_hr_reduced); with ``mesh`` the dataset is
+    replicated across the mesh devices (per-fold selection happens inside
+    the partitioned program, so replication is what the zero-collective
+    fold layout wants)."""
     lr_np = np.asarray(lr_all, dtype=np.float32)
     hr_np = np.asarray(hr_all, dtype=np.float32)
     rowsum = lr_np.sum(axis=-1)
@@ -193,46 +231,81 @@ def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all):
     a_norm = (lr_np * r[..., None, :] * r[..., :, None]).astype(np.float32)
     u_lr, u_hr = precompute_spectral(lr_np, hr_np, lr_dim=cfg.lr_dim,
                                      padding=cfg.padding)
-    return (device_put_fast(a_norm), device_put_fast(hr_np),
-            device_put_fast(np.asarray(u_lr, dtype=np.float32)),
-            device_put_fast(np.asarray(u_hr, dtype=np.float32)))
+    arrays = (a_norm, hr_np, np.asarray(u_lr, dtype=np.float32),
+              np.asarray(u_hr, dtype=np.float32))
+    if mesh is None:
+        return tuple(device_put_fast(a) for a in arrays)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, rep) for a in arrays)
 
 
 class GSRFoldRunner:
     """Stateful convenience wrapper: stage once, train/eval many times
     (keeps everything device-resident between calls — the layout a bench
-    or a hyperparameter sweep wants)."""
+    or a hyperparameter sweep wants).
+
+    ``mesh`` (optional 1-D ``('batch',)`` mesh) shards the fold axis over
+    the devices — the production multi-chip path. Fold count is padded to a
+    multiple of the mesh size with fully-masked no-op folds; all returned
+    histories/metrics are sliced back to the real folds. Per-fold
+    trajectories are identical to the single-device run (asserted in
+    tests/test_parallel.py)."""
 
     def __init__(self, cfg: GSRTrainConfig, lr_all, hr_all, folds,
-                 init_seed: int = 0):
+                 init_seed: int = 0, mesh=None):
         self.cfg = cfg
         self.folds = folds
+        self.mesh = mesh
+        self.n_folds = len(folds)
+        n_pad_folds = 0
+        if mesh is not None:
+            n_pad_folds = (-len(folds)) % mesh.devices.size
+        self._n_total = self.n_folds + n_pad_folds
         (self.model, self.template, self.unravel, self._train_all,
-         self._eval_all) = _build_programs(cfg)
-        self.data = stage_dataset(cfg, lr_all, hr_all)
-        self.tr_idx, self.tr_valid = _pad_plans(folds, 0)
-        self.va_idx, self.va_valid = _pad_plans(folds, 1)
+         self._eval_all) = _build_programs(cfg, mesh=mesh)
+        self.data = stage_dataset(cfg, lr_all, hr_all, mesh=mesh)
+        pad_folds = folds + [(np.zeros(1, np.int32),) * 2] * n_pad_folds
+        self.tr_idx, self.tr_valid = _pad_plans(pad_folds, 0)
+        self.va_idx, self.va_valid = _pad_plans(pad_folds, 1)
+        if n_pad_folds:  # masked no-op folds: every step/eval slot invalid
+            self.tr_valid[self.n_folds:] = 0.0
+            self.va_valid[self.n_folds:] = 0.0
         flats = []
         eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-        for j in range(len(folds)):
+        for j in range(self._n_total):
             p = cfg.model().init(jax.random.PRNGKey(init_seed + j), eye,
                                  u_lr=eye)
             flats.append(ravel_pytree(p)[0])
-        self.flat0 = jnp.stack(flats)
+        self.flat0 = self._put_folded(jnp.stack(flats))
+        self.tr_idx = self._put_folded(self.tr_idx)
+        self.tr_valid = self._put_folded(self.tr_valid)
+        self.va_idx = self._put_folded(self.va_idx)
+        self.va_valid = self._put_folded(self.va_valid)
         self.flat_trained = None
+
+    def _put_folded(self, arr):
+        """Place a leading-fold-axis array (sharded over the mesh when
+        multi-chip)."""
+        arr = jnp.asarray(arr)
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(self.mesh, P("batch")))
 
     def fresh_state(self):
         """(params, adam_m, adam_v, step_count) stacked over folds."""
         z = jnp.zeros_like(self.flat0)
         return (self.flat0, z, z,
-                jnp.zeros((self.flat0.shape[0],), jnp.float32))
+                self._put_folded(jnp.zeros((self.flat0.shape[0],),
+                                           jnp.float32)))
 
     def _run_chunk(self, state, epochs: int):
-        _, _, _, train_chunk, _ = _build_programs(self.cfg, epochs)
+        _, _, _, train_chunk, _ = _build_programs(self.cfg, epochs,
+                                                  mesh=self.mesh)
         a_norm, hr_all, u_lr, u_hr = self.data
         return train_chunk(state, a_norm, hr_all, u_lr, u_hr,
-                           jnp.asarray(self.tr_idx),
-                           jnp.asarray(self.tr_valid))
+                           self.tr_idx, self.tr_valid)
 
     def train(self, checkpoint_path: str = None,
               checkpoint_every: int = None):
@@ -246,9 +319,10 @@ class GSRFoldRunner:
         if checkpoint_path is None:
             state, loss_hist, err_hist = self._train_all(
                 self.fresh_state(), a_norm, hr_all, u_lr, u_hr,
-                jnp.asarray(self.tr_idx), jnp.asarray(self.tr_valid))
+                self.tr_idx, self.tr_valid)
             self.flat_trained = state[0]
-            return state[0], loss_hist, err_hist
+            return (state[0], loss_hist[:self.n_folds],
+                    err_hist[:self.n_folds])
 
         import os
 
@@ -260,7 +334,7 @@ class GSRFoldRunner:
             import flax.serialization as ser
             with open(checkpoint_path, "rb") as f:
                 blob = ser.msgpack_restore(f.read())
-            state = tuple(jnp.asarray(x) for x in blob["state"])
+            state = tuple(self._put_folded(x) for x in blob["state"])
             done = int(blob["epoch"])
             losses = [np.asarray(blob["loss_hist"])]
             errs = [np.asarray(blob["err_hist"])]
@@ -268,8 +342,8 @@ class GSRFoldRunner:
         while done < self.cfg.epochs:
             chunk = min(checkpoint_every, self.cfg.epochs - done)
             state, lh, eh = self._run_chunk(state, chunk)
-            losses.append(np.asarray(lh))
-            errs.append(np.asarray(eh))
+            losses.append(np.asarray(lh)[:self.n_folds])
+            errs.append(np.asarray(eh)[:self.n_folds])
             done += chunk
             import flax.serialization as ser
             blob = {"state": [np.asarray(x) for x in state],
@@ -290,9 +364,8 @@ class GSRFoldRunner:
             flat_params_f = self.flat_trained
         lr_all, hr_all, u_lr, _ = self.data
         maes, preds = self._eval_all(flat_params_f, lr_all, hr_all, u_lr,
-                                     jnp.asarray(self.va_idx),
-                                     jnp.asarray(self.va_valid))
-        return maes, preds
+                                     self.va_idx, self.va_valid)
+        return maes[:self.n_folds], preds[:self.n_folds]
 
     def params_per_fold(self) -> List[dict]:
         return [self.unravel(self.flat_trained[j])
@@ -302,14 +375,16 @@ class GSRFoldRunner:
 def train_gsr_folds_parallel(cfg: GSRTrainConfig, lr_all, hr_all, folds,
                              init_seed: int = 0,
                              checkpoint_path: str = None,
-                             checkpoint_every: int = None):
+                             checkpoint_every: int = None, mesh=None):
     """Train one fresh GSR-Net per fold, all folds in parallel.
 
-    Returns (model, per-fold params list, loss_hist (F, epochs),
-    err_hist (F, epochs), runner) — the runner keeps device-resident state
-    for follow-up evaluation.
+    With ``mesh`` the folds shard over the devices (zero-collective
+    multi-chip layout). Returns (model, per-fold params list, loss_hist
+    (F, epochs), err_hist (F, epochs), runner) — the runner keeps
+    device-resident state for follow-up evaluation.
     """
-    runner = GSRFoldRunner(cfg, lr_all, hr_all, folds, init_seed=init_seed)
+    runner = GSRFoldRunner(cfg, lr_all, hr_all, folds, init_seed=init_seed,
+                           mesh=mesh)
     p_f, loss_hist, err_hist = runner.train(
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
     return (runner.model, runner.params_per_fold(), np.asarray(loss_hist),

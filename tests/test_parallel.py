@@ -103,3 +103,81 @@ def test_sharded_step_matches_single_device(rng):
     for a, b in zip(jax.tree_util.tree_leaves(got),
                     jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def _fold_dataset(rng, n=24):
+    lr = np.stack([random_symmetric(rng, CFG.lr_dim) for _ in range(n)])
+    hr = np.stack([random_symmetric(rng, CFG.hr_dim) for _ in range(n)])
+    return lr, hr
+
+
+def test_fold_sharded_trainer_matches_single_device(rng):
+    """The PRODUCTION multi-chip path: GSRFoldRunner with a mesh shards the
+    fold axis over 8 devices (3 real folds padded with masked no-op folds)
+    and must reproduce the single-device per-fold loss histories, val MAEs
+    and final parameters."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    cfg = GSRTrainConfig(lr_dim=16, hr_dim=24, hidden_dim=24, ks=(0.8, 0.5),
+                         epochs=3)
+    lr, hr = _fold_dataset(rng)
+    folds = kfold_indices(len(lr), 3, seed=42)
+
+    single = GSRFoldRunner(cfg, lr, hr, folds)
+    p1, lh1, eh1 = single.train()
+    m1, _ = single.evaluate()
+
+    mesh = batch_mesh(jax.devices()[:8])
+    sharded = GSRFoldRunner(cfg, lr, hr, folds, mesh=mesh)
+    # fold-axis state really is split across the 8 devices
+    assert len(sharded.flat0.sharding.device_set) == 8
+    assert sharded.flat0.shape[0] == 8  # 3 folds padded to the mesh size
+    p2, lh2, eh2 = sharded.train()
+    m2, _ = sharded.evaluate()
+
+    assert np.asarray(lh2).shape == (3, cfg.epochs)  # sliced to real folds
+    np.testing.assert_allclose(np.asarray(lh1), np.asarray(lh2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(eh1), np.asarray(eh2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2)[:3],
+                               atol=2e-5)
+
+
+def test_fold_sharded_trainer_divisible_fold_count(rng):
+    """4 folds on a 4-device submesh — no padding branch."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    cfg = GSRTrainConfig(lr_dim=16, hr_dim=24, hidden_dim=24, ks=(0.8, 0.5),
+                         epochs=2)
+    lr, hr = _fold_dataset(rng)
+    folds = kfold_indices(len(lr), 4, seed=42)
+
+    single = GSRFoldRunner(cfg, lr, hr, folds)
+    _, lh1, _ = single.train()
+    mesh = batch_mesh(jax.devices()[:4])
+    sharded = GSRFoldRunner(cfg, lr, hr, folds, mesh=mesh)
+    assert sharded.flat0.shape[0] == 4
+    _, lh2, _ = sharded.train()
+    np.testing.assert_allclose(np.asarray(lh1), np.asarray(lh2), atol=2e-5)
+
+
+def test_fold_sharded_checkpoint_chunks(rng, tmp_path):
+    """Chunked (checkpointed) sharded training matches the single-shot
+    sharded run — the bench's resilience path under multi-chip."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    cfg = GSRTrainConfig(lr_dim=16, hr_dim=24, hidden_dim=24, ks=(0.8, 0.5),
+                         epochs=4)
+    lr, hr = _fold_dataset(rng)
+    folds = kfold_indices(len(lr), 2, seed=42)
+    mesh = batch_mesh(jax.devices()[:2])
+
+    oneshot = GSRFoldRunner(cfg, lr, hr, folds, mesh=mesh)
+    _, lh1, _ = oneshot.train()
+    chunked = GSRFoldRunner(cfg, lr, hr, folds, mesh=mesh)
+    _, lh2, _ = chunked.train(checkpoint_path=str(tmp_path / "ck.msgpack"),
+                              checkpoint_every=2)
+    np.testing.assert_allclose(np.asarray(lh1), np.asarray(lh2), atol=1e-6)
