@@ -26,7 +26,8 @@ from fcsr_tpu.train.generic_loop import PlateauScheduler
 from fcsr_tpu.train.losses import intermediate_recon_loss, offdiag_mse_loss
 
 __all__ = ["GATTrainConfig", "init_gat", "precompute_gat_features",
-           "train_gat", "predict_gat", "unet_loss"]
+           "train_gat", "train_gat_folds_parallel", "adamw_flat_update",
+           "predict_gat", "unet_loss"]
 
 
 @dataclass(frozen=True)
@@ -55,12 +56,17 @@ class GATTrainConfig:
 
 
 def init_gat(cfg: GATTrainConfig, key: jax.Array):
+    """The learning rate is injected as OPTIMIZER STATE
+    (optax.inject_hyperparams) so plateau decays update a traced scalar
+    instead of rebuilding + re-jitting the whole epoch program — the
+    re-compile per decay was the dominant cost of the original loop."""
     model = cfg.model()
     dummy = jnp.eye(cfg.n_nodes, dtype=jnp.float32) * 0.5
     k_init, k_drop = jax.random.split(key)
     variables = model.init({"params": k_init, "dropout": k_drop}, dummy)
-    tx = optax.adamw(cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
-                     weight_decay=cfg.weight_decay)
+    tx = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=cfg.weight_decay)
     opt_state = tx.init(variables["params"])
     return model, variables, tx, opt_state
 
@@ -177,9 +183,9 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
         new_lr = scheduler.step(v_loss)
         if new_lr != cur_lr:
             cur_lr = new_lr
-            tx = optax.adamw(cur_lr, b1=0.9, b2=0.999, eps=1e-8,
-                             weight_decay=cfg.weight_decay)
-            epoch_fn, val_fn = _make_epoch_fn(model, tx, cfg)
+            # lr lives in opt_state (inject_hyperparams): no re-jit
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                cur_lr, dtype=jnp.float32)
         lr_hist.append(cur_lr)
 
         if v_loss < best_val:  # reference bug (>) fixed here
@@ -200,6 +206,178 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
         params = jax.tree_util.tree_map(jnp.asarray, best_params)
     return ({"params": params}, opt_state,
             {"train": train_hist, "val": val_hist, "lr": lr_hist})
+
+
+def adamw_flat_update(g, p, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8,
+                      wd=0.01):
+    """optax.adamw update on a flat parameter vector (decoupled weight
+    decay folded into the step, matching optax's formula)."""
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * (g * g)
+    mhat = m / (1 - b1 ** t)
+    vhat = v / (1 - b2 ** t)
+    step = lr * (mhat / (jnp.sqrt(vhat) + eps) + wd * p)
+    return step, m, v
+
+
+def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
+                             seed: int = 42, verbose: bool = False):
+    """All CV folds trained as ONE vmapped program (the fast_loop playbook
+    applied to the GAT family): flat-vector AdamW, per-fold traced lr for
+    the plateau schedule (no re-jit on decay), masked no-op steps padding
+    ragged fold sizes, per-fold early-stop masks. Per-epoch host control
+    (scheduler, best-state snapshot, early stop) matches the single-fold
+    ``train_gat`` semantics with per-fold seeds ``seed + j`` (exactly what
+    ``run_gat_cv`` passes).
+
+    Returns (model, best_variables_per_fold, histories list).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from fcsr_tpu.utils.transfer import device_put_fast
+
+    model = cfg.model()
+    lr_np = np.asarray(lr_all, dtype=np.float32)
+    hr_np = np.asarray(hr_all, dtype=np.float32)
+    lr_d = device_put_fast(lr_np)
+    hr_d = device_put_fast(hr_np)
+    x_d = precompute_gat_features(lr_np, dim=cfg.dim)
+
+    n_folds = len(folds)
+    flats = []
+    unravel = None
+    for j in range(n_folds):
+        k_init, k_drop = jax.random.split(jax.random.PRNGKey(seed + j))
+        variables = model.init({"params": k_init, "dropout": k_drop},
+                               jnp.eye(cfg.n_nodes, dtype=jnp.float32) * 0.5)
+        flat, unravel = ravel_pytree(variables["params"])
+        flats.append(flat)
+    flat_f = jnp.stack(flats)
+
+    tr_sets = [np.asarray(tr, dtype=np.int32) for tr, _ in folds]
+    va_sets = [np.asarray(va, dtype=np.int32) for _, va in folds]
+    tr_len = max(len(s) for s in tr_sets)
+    va_idx = np.zeros((n_folds, max(len(s) for s in va_sets)), np.int32)
+    va_valid = np.zeros_like(va_idx, dtype=np.float32)
+    for j, s in enumerate(va_sets):
+        va_idx[j, :len(s)] = s
+        va_valid[j, :len(s)] = 1.0
+    va_idx = jnp.asarray(va_idx)
+    va_valid = jnp.asarray(va_valid)
+
+    def sample_loss(flat_params, lr_m, hr_m, x_feat, drop_key):
+        pred, a_hist, a_recon = model.apply(
+            {"params": unravel(flat_params)}, lr_m, x=x_feat, train=True,
+            rngs={"dropout": drop_key})
+        return unet_loss(pred, hr_m, a_hist, a_recon,
+                         cfg.intermediate_losses)
+
+    grad_fn = jax.value_and_grad(sample_loss)
+
+    @jax.jit
+    def epoch_all(state_f, lr_f, active_f, order_f, valid_f, keys_f):
+        """One epoch over every fold: scan of masked flat-AdamW steps,
+        vmapped over the fold axis."""
+        def fold_epoch(state, lr_s, active, order, valid, key):
+            def step(carry, batch):
+                p, m, v, t, key = carry
+                i, ok = batch
+                ok = ok * active
+                key, sub = jax.random.split(key)
+                loss, g = grad_fn(p, lr_d[i], hr_d[i], x_d[i], sub)
+                t_new = t + ok
+                stp, m_new, v_new = adamw_flat_update(
+                    g, p, m, v, jnp.maximum(t_new, 1.0), lr_s,
+                    wd=cfg.weight_decay)
+                p = p - ok * stp
+                m = jnp.where(ok > 0, m_new, m)
+                v = jnp.where(ok > 0, v_new, v)
+                return (p, m, v, t_new, key), loss * ok
+            (p, m, v, t, _), losses = jax.lax.scan(
+                step, (*state, key), (order, valid))
+            denom = jnp.maximum((valid * active).sum(), 1.0)
+            return (p, m, v, t), jnp.sum(losses) / denom
+
+        return jax.vmap(fold_epoch)(state_f, lr_f, active_f, order_f,
+                                    valid_f, keys_f)
+
+    @jax.jit
+    def val_all(flat_f):
+        def fold_val(flat_params, idx, valid):
+            def one(i):
+                pred, a_hist, a_recon = model.apply(
+                    {"params": unravel(flat_params)}, lr_d[i], x=x_d[i],
+                    train=False)
+                loss = unet_loss(pred, hr_d[i], a_hist, a_recon,
+                                 cfg.intermediate_losses)
+                n = pred.shape[0]
+                off = 1.0 - jnp.eye(n, dtype=pred.dtype)
+                mae = jnp.mean(jnp.abs(pred * off - hr_d[i] * off))
+                return loss, mae
+            losses, maes = jax.vmap(one)(idx)
+            denom = jnp.maximum(valid.sum(), 1.0)
+            return (jnp.sum(losses * valid) / denom,
+                    jnp.sum(maes * valid) / denom)
+
+        return jax.vmap(fold_val)(flat_f, va_idx, va_valid)
+
+    z = jnp.zeros_like(flat_f)
+    state = (flat_f, z, z, jnp.zeros((n_folds,), jnp.float32))
+    rngs = [np.random.default_rng(seed + j) for j in range(n_folds)]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_folds)
+    schedulers = [PlateauScheduler(cfg.lr, patience=cfg.patience,
+                                   factor=cfg.plateau_factor,
+                                   threshold=cfg.plateau_threshold)
+                  for _ in range(n_folds)]
+    cur_lr = np.full(n_folds, cfg.lr, dtype=np.float32)
+    active = np.ones(n_folds, dtype=np.float32)
+    best_val = np.full(n_folds, np.inf)
+    best_flat = [None] * n_folds
+    hists = [{"train": [], "val": [], "lr": []} for _ in range(n_folds)]
+
+    for epoch in range(cfg.epochs):
+        order = np.zeros((n_folds, tr_len), np.int32)
+        valid = np.zeros((n_folds, tr_len), np.float32)
+        for j, s in enumerate(tr_sets):
+            perm = s[rngs[j].permutation(len(s))]
+            order[j, :len(s)] = perm
+            valid[j, :len(s)] = 1.0
+        subs = jax.vmap(jax.random.split)(keys)
+        keys, epoch_keys = subs[:, 0], subs[:, 1]
+        state, tr_loss_f = epoch_all(state, jnp.asarray(cur_lr),
+                                     jnp.asarray(active),
+                                     jnp.asarray(order),
+                                     jnp.asarray(valid), epoch_keys)
+        v_loss_f, v_mae_f = val_all(state[0])
+        tr_loss_f = np.asarray(tr_loss_f)
+        v_loss_f = np.asarray(v_loss_f)
+        flat_now = np.asarray(state[0])
+
+        for j in range(n_folds):
+            if not active[j]:
+                continue
+            hists[j]["train"].append(float(tr_loss_f[j]))
+            hists[j]["val"].append(float(v_loss_f[j]))
+            new_lr = schedulers[j].step(float(v_loss_f[j]))
+            cur_lr[j] = new_lr
+            hists[j]["lr"].append(float(new_lr))
+            if v_loss_f[j] < best_val[j]:  # reference bug (>) fixed
+                best_val[j] = v_loss_f[j]
+                best_flat[j] = flat_now[j].copy()
+            if new_lr < 1e-5:
+                active[j] = 0.0
+        if verbose:
+            print(f"epoch {epoch + 1}: val {v_loss_f.round(6)} "
+                  f"lr {cur_lr}")
+        if not active.any():
+            break
+
+    best_variables = []
+    for j in range(n_folds):
+        flat = best_flat[j] if best_flat[j] is not None \
+            else np.asarray(state[0][j])
+        best_variables.append({"params": unravel(jnp.asarray(flat))})
+    return model, best_variables, hists
 
 
 def predict_gat(variables, model: GATGraphUnet, cfg: GATTrainConfig,

@@ -70,8 +70,7 @@ def mse_criterion(pred, target):
 
 
 def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
-    @jax.jit
-    def train_step(variables, opt_state, lr_b, hr_b, dropout_key):
+    def train_step_body(variables, opt_state, lr_b, hr_b, dropout_key):
         params = variables["params"]
         aux_cols = {k: v for k, v in variables.items() if k != "params"}
 
@@ -88,12 +87,32 @@ def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
         params = optax.apply_updates(params, updates)
         return {"params": params, **new_aux}, opt_state, loss
 
+    train_step = jax.jit(train_step_body)
+
+    @jax.jit
+    def train_epoch_full(variables, opt_state, lr_bs, hr_bs, dropout_key):
+        """All FULL batches of one epoch as a single lax.scan — one
+        dispatch instead of one per batch. The ragged remainder batch (if
+        any) goes through ``train_step`` separately so BatchNorm sees the
+        exact per-batch statistics the reference's loader produces."""
+        def step(carry, batch):
+            variables, opt_state, key = carry
+            lr_b, hr_b = batch
+            key, sub = jax.random.split(key)
+            variables, opt_state, loss = train_step_body(
+                variables, opt_state, lr_b, hr_b, sub)
+            return (variables, opt_state, key), loss
+
+        (variables, opt_state, _), losses = jax.lax.scan(
+            step, (variables, opt_state, dropout_key), (lr_bs, hr_bs))
+        return variables, opt_state, losses
+
     @jax.jit
     def eval_step(variables, lr_b, hr_b):
         pred = model.apply(variables, lr_b, train=False)
         return criterion(pred, hr_b), pred
 
-    return train_step, eval_step
+    return train_step, train_epoch_full, eval_step
 
 
 def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
@@ -120,17 +139,19 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
                                  factor=plateau_factor,
                                  threshold=plateau_threshold)
 
-    def build_tx(cur_lr):
+    def tx_factory(learning_rate):
         return optax.chain(
             optax.clip_by_global_norm(clip_norm),
-            optax.adamw(learning_rate=cur_lr, b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=weight_decay))
+            optax.adamw(learning_rate=learning_rate, b1=0.9, b2=0.999,
+                        eps=1e-8, weight_decay=weight_decay))
 
     cur_lr = lr
-    tx = build_tx(cur_lr)
+    # lr is optimizer STATE (inject_hyperparams): plateau decays update a
+    # traced scalar instead of rebuilding + re-jitting the step programs
+    tx = optax.inject_hyperparams(tx_factory)(learning_rate=cur_lr)
     opt_state = tx.init(variables["params"])
-    train_step, eval_step = _make_step_fns(model, tx, criterion,
-                                           mutable_cols)
+    train_step, train_epoch_full, eval_step = _make_step_fns(
+        model, tx, criterion, mutable_cols)
 
     n = len(lr_train)
     rng = np.random.default_rng(seed)
@@ -140,11 +161,20 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
     best_val = float("inf")
     best_variables = None
 
+    n_full = n // batch_size
+
     for epoch in range(num_epochs):
         order = rng.permutation(n)
         epoch_losses = []
-        for lo in range(0, n, batch_size):
-            idx = order[lo:lo + batch_size]
+        if n_full:
+            idx = order[:n_full * batch_size].reshape(n_full, batch_size)
+            key, sub = jax.random.split(key)
+            variables, opt_state, losses = train_epoch_full(
+                variables, opt_state, jnp.asarray(lr_train[idx]),
+                jnp.asarray(hr_train[idx]), sub)
+            epoch_losses.extend(np.asarray(losses).tolist())
+        if n % batch_size:
+            idx = order[n_full * batch_size:]
             key, sub = jax.random.split(key)
             variables, opt_state, loss = train_step(
                 variables, opt_state, jnp.asarray(lr_train[idx]),
@@ -158,12 +188,10 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
             val_hist.append(vloss)
             new_lr = scheduler.step(vloss)
             if new_lr != cur_lr:
-                # plateau fired: rebuild optimizer at the decayed lr but
-                # keep its state (torch mutates lr in-place, same effect)
+                # plateau fired: decay the traced lr in-place, no re-jit
                 cur_lr = new_lr
-                tx = build_tx(cur_lr)
-                train_step, eval_step = _make_step_fns(
-                    model, tx, criterion, mutable_cols)
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    cur_lr, dtype=jnp.float32)
             lr_hist.append(cur_lr)
 
             if vloss < best_val:
