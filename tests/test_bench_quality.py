@@ -1,0 +1,129 @@
+"""Quality-sensitivity of the benchmark: a shape-preserving MATH bug must
+move the trained val MAE far outside the pinned golden band (bench.py
+gates on |mae - golden| < 15% and trained < 0.5 * untrained).
+
+The mutation here — silently dropping the degree normalization inside the
+model — preserves every shape and dtype and still trains to finite
+losses; only the quality gates catch it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fcsr_tpu.models.gsr as gsr_mod
+from fcsr_tpu.data.datamodule import kfold_indices
+from fcsr_tpu.data.synthetic import synthesize_teacher_connectomes
+from fcsr_tpu.train import GSRTrainConfig
+from fcsr_tpu.train.fast_loop import GSRFoldRunner, _build_programs, \
+    _build_raw_programs
+
+
+def _run(cfg, lr, hr, folds):
+    runner = GSRFoldRunner(cfg, lr, hr, folds)
+    runner.train()
+    maes, _ = runner.evaluate()
+    untrained, _ = runner.evaluate(runner.flat0)
+    return float(np.asarray(maes).mean()), float(np.asarray(untrained).mean())
+
+
+def test_math_mutation_moves_val_mae(monkeypatch):
+    lr, hr = synthesize_teacher_connectomes(24, lr_dim=24, hr_dim=40,
+                                            n_comm=6, seed=3)
+    cfg = GSRTrainConfig(lr_dim=24, hr_dim=40, hidden_dim=40,
+                         ks=(0.8, 0.5), epochs=40, lr=1e-3)
+    folds = kfold_indices(24, 2, seed=0)
+
+    healthy_mae, untrained_mae = _run(cfg, lr, hr, folds)
+    # the broken-training canary: training must improve substantially
+    assert healthy_mae < 0.5 * untrained_mae, (healthy_mae, untrained_mae)
+
+    # MUTATION: normalize_adj inside the GSR layer becomes a no-op —
+    # shapes, dtypes, and finiteness all preserved
+    monkeypatch.setattr(gsr_mod, "normalize_adj", lambda m: jnp.asarray(m))
+    _build_programs.cache_clear()
+    _build_raw_programs.cache_clear()
+    try:
+        mutated_mae, _ = _run(cfg, lr, hr, folds)
+    finally:
+        monkeypatch.undo()
+        _build_programs.cache_clear()
+        _build_raw_programs.cache_clear()
+
+    assert np.isfinite(mutated_mae)
+    rel = abs(mutated_mae - healthy_mae) / healthy_mae
+    # the bench band is 15%; the mutation must blow well past it
+    assert rel > 0.15, (healthy_mae, mutated_mae, rel)
+
+
+def test_teacher_dataset_properties():
+    lr, hr = synthesize_teacher_connectomes(6, seed=11)
+    for stack, n in ((lr, 160), (hr, 268)):
+        assert stack.shape[1:] == (n, n)
+        assert stack.min() >= 0.0 and stack.max() <= 1.0
+        np.testing.assert_array_equal(stack, stack.transpose(0, 2, 1))
+        assert np.abs(stack[:, np.arange(n), np.arange(n)]).max() == 0.0
+    # deterministic per seed
+    lr2, hr2 = synthesize_teacher_connectomes(6, seed=11)
+    np.testing.assert_array_equal(hr, hr2)
+    lr3, _ = synthesize_teacher_connectomes(6, seed=12)
+    assert np.abs(lr3 - lr).max() > 0
+
+
+def test_teacher_target_is_realizable():
+    """The generator's HR (pre-noise) must lie in GSR-Net's reachable
+    family: transplanting the hidden teacher's parameters into the actual
+    model reproduces the stored targets up to noise+clip."""
+    import fcsr_tpu.data.synthetic as syn
+
+    lr_dim, hr_dim, n = 24, 40, 5
+    rng = np.random.default_rng(42)
+    n_comm = 6
+    m = rng.gamma(shape=0.5, scale=1.0, size=(lr_dim, n_comm))
+    _ = m / m.sum(axis=1, keepdims=True)  # p_lr (same rng consumption)
+    w_star = np.linalg.qr(rng.normal(size=(hr_dim, lr_dim)))[0]
+    c_star = rng.normal(0.0, 0.5, size=(lr_dim, hr_dim))
+    gb = np.sqrt(6.0 / (2 * hr_dim)) * 8.0
+    g1 = rng.uniform(-gb, gb, size=(hr_dim, hr_dim))
+    g2 = rng.uniform(-gb, gb, size=(hr_dim, hr_dim))
+
+    lr, hr = syn.synthesize_teacher_connectomes(
+        n, lr_dim=lr_dim, hr_dim=hr_dim, n_comm=n_comm, hr_noise=0.0,
+        seed=42)
+
+    # rebuild the applied global scale
+    raws, us = [], []
+    for i in range(n):
+        u = np.linalg.eigh(syn._normalize_adj_np(lr[i].astype(np.float64)))[1]
+        us.append(u)
+        raws.append(syn._teacher_forward(u, w_star, c_star, g1, g2))
+    raws = np.stack(raws)
+    scale = 0.95 / max(np.quantile(raws, 0.995), 1e-9)
+
+    cfg = GSRTrainConfig(lr_dim=lr_dim, hr_dim=hr_dim, hidden_dim=hr_dim)
+    model = cfg.model()
+    params = model.init(jax.random.PRNGKey(0), jnp.eye(lr_dim),
+                        u_lr=jnp.eye(lr_dim))
+    p = jax.tree_util.tree_map(np.array, params)["params"]
+    p["layer"]["weights"] = w_star.astype(np.float32)
+    p["gc1"]["weight"] = g1.astype(np.float32)
+    p["gc2"]["weight"] = (g2 * scale).astype(np.float32)
+    p["net"]["start_gcn"]["proj"]["kernel"] = c_star.astype(np.float32)
+    p["net"]["start_gcn"]["proj"]["bias"] = np.zeros(hr_dim, np.float32)
+    ek = np.zeros((2 * hr_dim, hr_dim), np.float32)
+    ek[hr_dim:] = np.eye(hr_dim)
+    p["net"]["end_gcn"]["proj"]["kernel"] = ek
+    p["net"]["end_gcn"]["proj"]["bias"] = np.zeros(hr_dim, np.float32)
+    params = jax.tree_util.tree_map(jnp.asarray, {"params": p})
+
+    def fwd(lr_m, u):
+        pred, _, _, _ = model.apply(params, lr_m, u_lr=u)
+        return pred
+
+    preds = np.asarray(jax.vmap(fwd)(
+        jnp.asarray(lr), jnp.asarray(np.stack(us).astype(np.float32))))
+    off = ~np.eye(hr_dim, dtype=bool)
+    # stored hr is clip(scale*raw); transplanted model reproduces it
+    # (up to the 0.5% clipped tail and f32 rounding)
+    diff = np.abs(preds[:, off] - hr[:, off])
+    assert np.quantile(diff, 0.99) < 1e-4, np.quantile(diff, 0.99)
