@@ -99,14 +99,27 @@ def pagerank(w, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6):
 
 def _dijkstra_dense(dist_mx, source: jax.Array):
     """Single-source shortest-path distances on a dense distance matrix via
-    min-plus (Bellman-Ford) relaxation; non-edges must be _INF."""
+    min-plus (Bellman-Ford) relaxation TO FIXPOINT; non-edges must be _INF.
+
+    Fixpoint iteration count = the shortest-path-tree depth (a handful of
+    hops for dense connectome graphs), not n — this is both the runtime
+    win (n x 268^2 -> depth x 268^2 flops) and the compile win vs the
+    round-1 fori(n) form (the official-metrics program's first TPU compile
+    dropped from ~minutes; see PERF.md)."""
     n = dist_mx.shape[0]
     d0 = jnp.full((n,), _INF).at[source].set(0.0)
 
-    def body(_, d):
-        return jnp.minimum(d, jnp.min(d[:, None] + dist_mx, axis=0))
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
 
-    return jax.lax.fori_loop(0, n, body, d0)
+    def body(state):
+        d, _, it = state
+        d2 = jnp.minimum(d, jnp.min(d[:, None] + dist_mx, axis=0))
+        return d2, jnp.any(d2 < d), it + 1
+
+    d, _, _ = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True), 0))
+    return d
 
 
 def _brandes_from_pivot(dist_mx, source: jax.Array, eps: float = 1e-12):
@@ -115,6 +128,17 @@ def _brandes_from_pivot(dist_mx, source: jax.Array, eps: float = 1e-12):
     Returns delta: the unnormalized dependency of each node w.r.t. this
     source. Predecessor relation: edge (u, v) with d[u] + w(u,v) == d[v]
     (within eps tolerance, scaled by distance magnitude).
+
+    Path counts and dependencies are computed as FIXPOINTS of dense
+    matrix-vector recurrences over the predecessor DAG instead of the
+    textbook distance-ordered sequential accumulation: the DAG is acyclic
+    (positive weights), so
+
+        sigma = e_s + P^T sigma          converges in DAG-depth iterations
+        delta = R (1 + delta),  R = P * sigma_u / sigma_v   likewise
+
+    and the fixpoints equal the sequential results exactly. No dynamic
+    indexing, no argsort — matvec loops the TPU compiler handles well.
     """
     n = dist_mx.shape[0]
     d = _dijkstra_dense(dist_mx, source)
@@ -125,30 +149,39 @@ def _brandes_from_pivot(dist_mx, source: jax.Array, eps: float = 1e-12):
     tol = eps * (1.0 + jnp.abs(d)[None, :])
     pred = has_edge & reach[:, None] & reach[None, :] \
         & (jnp.abs(d[:, None] + dist_mx - d[None, :]) <= tol)
+    p_mx = pred.astype(d.dtype)
 
-    order = jnp.argsort(d)  # increasing distance; source first
+    e_s = jnp.zeros((n,), dtype=d.dtype).at[source].set(1.0)
 
-    # sigma: path counts in increasing-distance order
-    sigma0 = jnp.zeros((n,)).at[source].set(1.0)
+    def sig_cond(state):
+        sigma, prev, it = state
+        return jnp.any(sigma != prev) & (it < n + 1)
 
-    def sigma_body(i, sigma):
-        v = order[i]
-        contrib = jnp.sum(jnp.where(pred[:, v], sigma, 0.0))
-        return sigma.at[v].add(jnp.where(v == source, 0.0, contrib))
+    def sig_body(state):
+        sigma, _, it = state
+        new = (e_s + sigma @ p_mx).at[source].set(1.0)
+        return new, sigma, it + 1
 
-    sigma = jax.lax.fori_loop(0, n, sigma_body, sigma0)
+    sigma, _, _ = jax.lax.while_loop(
+        sig_cond, sig_body, (e_s, jnp.full((n,), -1.0, dtype=d.dtype), 0))
 
-    # dependency accumulation in decreasing-distance order
-    delta0 = jnp.zeros((n,))
+    # R[u, v] = pred[u,v] * sigma_u / sigma_v (0 where sigma_v == 0)
+    safe = jnp.where(sigma > 0, sigma, 1.0)
+    r_mx = p_mx * sigma[:, None] / safe[None, :]
+    r_mx = r_mx * (sigma > 0)[None, :]
 
-    def delta_body(i, delta):
-        v = order[n - 1 - i]
-        coeff = jnp.where(sigma[v] > 0, (1.0 + delta[v]) / jnp.where(
-            sigma[v] > 0, sigma[v], 1.0), 0.0)
-        add = jnp.where(pred[:, v], sigma * coeff, 0.0)
-        return delta + jnp.where(v == source, 0.0, add)
+    def del_cond(state):
+        delta, prev, it = state
+        return jnp.any(delta != prev) & (it < n + 1)
 
-    delta = jax.lax.fori_loop(0, n, delta_body, delta0)
+    def del_body(state):
+        delta, _, it = state
+        new = (r_mx @ (1.0 + delta)).at[source].set(0.0)
+        return new, delta, it + 1
+
+    delta0 = jnp.zeros((n,), dtype=d.dtype)
+    delta, _, _ = jax.lax.while_loop(
+        del_cond, del_body, (delta0, jnp.full((n,), -1.0, dtype=d.dtype), 0))
     return delta.at[source].set(0.0)
 
 

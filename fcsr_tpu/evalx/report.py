@@ -55,6 +55,26 @@ _KC_B = jax.jit(jax.vmap(C.weighted_kcore_scores))
 _BC_B = jax.jit(jax.vmap(C.betweenness_centrality))
 _KL_B = jax.jit(jax.vmap(M.weight_histogram_kl))
 
+# Device kernels run over FIXED-SIZE batch tiles: the compiled programs'
+# shape keys become (TILE, n, ...) regardless of fold/batch size, so one
+# compile (and one persistent-cache entry) serves every fold layout
+# instead of recompiling per batch size.
+_TILE = 8
+
+
+def _run_tiled(fn, *arrays):
+    b = arrays[0].shape[0]
+    outs = []
+    for lo in range(0, b, _TILE):
+        chunk = [a[lo:lo + _TILE] for a in arrays]
+        pad = _TILE - chunk[0].shape[0]
+        if pad:
+            chunk = [jnp.concatenate([c] + [c[:1]] * pad, axis=0)
+                     for c in chunk]
+        out = fn(*chunk)
+        outs.append(out[:_TILE - pad] if pad else out)
+    return jnp.concatenate(outs, axis=0)
+
 
 def _device_metrics(gt: np.ndarray, pred: np.ndarray,
                     seed: Optional[int]) -> Dict[str, float]:
@@ -77,14 +97,24 @@ def _device_metrics(gt: np.ndarray, pred: np.ndarray,
         gt_j = jnp.asarray(gt, dtype=jnp.float64)
         pred_j = jnp.asarray(pred, dtype=jnp.float64)
 
-        ec, pr, kc, bc, kl = _EC_B, _PR_B, _KC_B, _BC_B, _KL_B
+        def ec(x):
+            return _run_tiled(_EC_B, x)
+
+        def pr(x):
+            return _run_tiled(_PR_B, x)
+
+        def kc(x):
+            return _run_tiled(_KC_B, x)
+
+        def bc(x, piv):
+            return _run_tiled(_BC_B, x, piv)
 
         bc_mae = jnp.mean(jnp.abs(bc(pred_j, jnp.asarray(piv_pred))
                                   - bc(gt_j, jnp.asarray(piv_gt))), axis=1)
         ec_mae = jnp.mean(jnp.abs(ec(pred_j) - ec(gt_j)), axis=1)
         pr_mae = jnp.mean(jnp.abs(pr(pred_j) - pr(gt_j)), axis=1)
         cp_mae = jnp.mean(jnp.abs(kc(pred_j) - kc(gt_j)), axis=1)
-        kl_div = kl(gt_j, pred_j)
+        kl_div = _run_tiled(_KL_B, gt_j, pred_j)
     return {
         "mae_betweenness": float(jnp.mean(bc_mae)),
         "mae_eigenvector": float(jnp.mean(ec_mae)),
