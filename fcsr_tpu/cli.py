@@ -77,6 +77,9 @@ def build_parser():
 
     a = trs.add_parser("gat")
     _add_common(a)
+    a.add_argument("--fast", action="store_true",
+                   help="fold-parallel trainer (all folds in one vmapped "
+                        "program; see train/gat_loop.py)")
     a.add_argument("--splits", type=int, default=3)
     a.add_argument("--epochs", type=int, default=100)
     a.add_argument("--lr", type=float, default=1e-3)
@@ -168,14 +171,15 @@ def main(argv=None):
                                 verbose=args.verbose)
             _finish(args, result, "submission.csv", ordering="colmajor")
         elif args.family == "gat":
-            from fcsr_tpu.pipelines import run_gat_cv
+            from fcsr_tpu.pipelines import run_gat_cv, run_gat_cv_fast
             from fcsr_tpu.train.gat_loop import GATTrainConfig
             cfg = GATTrainConfig(epochs=args.epochs, lr=args.lr,
                                  dim=args.dim)
-            result = run_gat_cv(data, splits=args.splits, seed=args.seed,
-                                cfg=cfg, full_metrics=args.full_metrics,
-                                eval_backend=args.eval_backend,
-                                verbose=args.verbose)
+            runner = run_gat_cv_fast if args.fast else run_gat_cv
+            result = runner(data, splits=args.splits, seed=args.seed,
+                            cfg=cfg, full_metrics=args.full_metrics,
+                            eval_backend=args.eval_backend,
+                            verbose=args.verbose)
             _finish(args, result, "submission.csv", ordering="colmajor")
         return 0
 

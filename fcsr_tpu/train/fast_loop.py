@@ -97,15 +97,27 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
             err = tail - jnp.mean(jnp.abs(w - u_hr))
             return loss, err
     else:
+        # optional bf16 fast mode: matmul OPERANDS in bfloat16, f32 master
+        # params / Adam / accumulations (model matmuls already request
+        # preferred_element_type=f32). Non-default; measured delta in
+        # PERF.md. Loss terms compare f32-upcast tensors.
+        bf16 = cfg.compute_dtype == "bf16"
+
+        def _cast(x):
+            return x.astype(jnp.bfloat16) if bf16 else x
+
         def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
             params = unravel(flat_params)
-            pred, net_outs, start_outs, _ = model.apply(params, a_norm_m,
-                                                        u_lr=u_lr,
-                                                        a_norm=a_norm_m)
-            pred = unpad(pred, cfg.padding)
-            w = params["params"]["layer"]["weights"]
-            return gsr_composite_loss(pred, net_outs, start_outs, w, u_hr,
-                                      hr_m, cfg.lmbda)
+            if bf16:
+                params = jax.tree_util.tree_map(_cast, params)
+            pred, net_outs, start_outs, _ = model.apply(
+                params, _cast(a_norm_m), u_lr=_cast(u_lr),
+                a_norm=_cast(a_norm_m))
+            pred = unpad(pred.astype(jnp.float32), cfg.padding)
+            w = params["params"]["layer"]["weights"].astype(jnp.float32)
+            return gsr_composite_loss(pred, net_outs.astype(jnp.float32),
+                                      start_outs.astype(jnp.float32), w,
+                                      u_hr, hr_m, cfg.lmbda)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

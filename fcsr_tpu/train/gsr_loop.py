@@ -47,6 +47,11 @@ class GSRTrainConfig:
     # run the U-Net forward as one fused kernel too (rank-select
     # formulation, models/fused_step.py; XLA backward)
     fused_unet: bool = False
+    # NON-DEFAULT fast mode for the fold-parallel trainer: forward/backward
+    # matmul operands in bfloat16 (f32 master params + f32 Adam + f32
+    # accumulations stay). Quality delta measured in PERF.md; the default
+    # f32 path and the fused bf16x3 kernels are trajectory-exact instead.
+    compute_dtype: str = "f32"  # "f32" | "bf16"
 
     def model(self) -> GSRNet:
         return GSRNet(ks=self.ks, lr_dim=self.lr_dim, hr_dim=self.hr_dim,
