@@ -6,11 +6,42 @@ v5e chip. Metric: connectomes/sec processed across the whole pipeline
 (training steps + eval forwards). ``vs_baseline`` is the speedup vs the
 north-star 60 s budget for the same workload.
 
-Measurement protocol: the dataset is staged to HBM once; the full 3-fold
-train+eval program then runs twice — a cold pass (includes XLA compile,
-amortized by the persistent compilation cache on subsequent machines) and
-a steady-state pass, which is the reported number. Cold-pass wall clock is
-included in the JSON for transparency.
+Measurement protocol
+--------------------
+The dataset is staged to HBM once. The 200-epoch run executes as FOUR
+launches of ONE 50-epoch program (trajectory-identical to single-shot —
+tests/test_checkpoint_resume.py; the state stays device-resident between
+launches). Both timed passes run this SAME program:
+
+  * cold pass  — first execution: pays the program's one XLA/server
+    compile. It also persists exact-resume checkpoints between chunks, so
+    a bench process killed mid-run (tunnel stall, OOM) resumes instead of
+    restarting; stale checkpoints from other configs are fingerprinted
+    and discarded.
+  * steady pass — same program, fully warm; this is the reported number.
+
+Quality gates (per-gate results are separate JSON fields):
+
+  * synthetic data (no data/lr_train.csv): (a) trained val MAE < 0.5 x
+    untrained-model val MAE (broken-training canary) and (b) a pinned
+    golden band |MAE - golden| < 15% (shape-preserving-math-bug canary;
+    a deliberate mutation is demonstrated to blow past it in
+    tests/test_bench_quality.py). The golden is hardware/precision
+    pinned: it was measured on GOLDEN_DEVICE; on any other device kind
+    the band is reported but NOT asserted (golden_device_mismatch=true).
+  * real Kaggle CSVs: gate on proximity to the published reference
+    quality instead — |MAE - 0.14584| <= 1e-3 (BASELINE.md GSR-Net mean;
+    the actual north-star criterion). The untrained-factor gate is not
+    applied (at reference-level quality the ratio is ~0.55 by design —
+    see PERF.md "Why a trained GSR-Net cannot beat a train-mean
+    predictor").
+
+Re-pinning the golden: when a change INTENDS to move the trajectory
+(model math, optimizer, teacher dataset, precision policy) run
+``python bench.py`` on the pinned device, take ``mean_val_mae`` from the
+JSON line, update GOLDEN_MAE below (and GOLDEN_DEVICE if the hardware
+moved), and say so in the commit message. FCSR_BENCH_GOLDEN_MAE
+overrides per-run without re-pinning.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -21,6 +52,55 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Golden val-MAE for the shipped config on the seeded teacher dataset
+# (3 folds, 200 epochs, fused kernels, f32) — measured on GOLDEN_DEVICE
+# in round 2 (BENCH_r02). See module docstring for the re-pin procedure.
+GOLDEN_MAE = 0.038172
+GOLDEN_DEVICE = "TPU v5 lite"
+# Published reference quality (BASELINE.md, GSR-Net 3-fold mean MAE) and
+# the north-star parity budget — the real-data gate.
+REFERENCE_MAE = 0.14584
+REFERENCE_TOL = 1e-3
+
+
+def quality_gates(mean_mae, untrained_mae, *, is_synthetic, splits,
+                  device_kind, env=None):
+    """Compute the bench quality gates. Returns (fields dict, ok bool).
+
+    Pure host-side logic (no jax) so tests can exercise both dataset
+    branches directly (tests/test_bench_quality.py).
+    """
+    env = os.environ if env is None else env
+    fields = {
+        "mean_val_mae": round(float(mean_mae), 6),
+        "untrained_val_mae": round(float(untrained_mae), 6),
+    }
+    if not is_synthetic:
+        ref = float(env.get("FCSR_BENCH_REF_MAE", str(REFERENCE_MAE)))
+        tol = float(env.get("FCSR_BENCH_REF_TOL", str(REFERENCE_TOL)))
+        ok = abs(mean_mae - ref) <= tol
+        fields.update(reference_mae=ref,
+                      gate_reference_mae=bool(ok))
+        return fields, bool(ok)
+
+    gate_trained = bool(mean_mae < 0.5 * untrained_mae)
+    fields["gate_trained_vs_untrained"] = gate_trained
+    ok = gate_trained
+    golden = float(env.get("FCSR_BENCH_GOLDEN_MAE", str(GOLDEN_MAE)))
+    # the pinned golden is only meaningful for the seeded teacher dataset
+    # at the default 3-fold config, on the device it was measured on
+    if golden > 0 and splits == 3:
+        in_band = bool(abs(mean_mae - golden) < 0.15 * golden)
+        fields["golden_mae"] = golden
+        fields["gate_golden_band"] = in_band
+        if GOLDEN_DEVICE in str(device_kind):
+            ok = ok and in_band
+        else:
+            # different hardware legitimately moves the f32 trajectory:
+            # report, don't assert (see module docstring)
+            fields["golden_device_mismatch"] = True
+    return fields, bool(ok)
 
 
 def main():
@@ -50,31 +130,31 @@ def main():
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)
+    chunk = max(1, cfg.epochs // 4)  # ONE 50-epoch program, launched 4x
 
     t0 = time.perf_counter()
     runner = GSRFoldRunner(cfg, data["lr_train"], data["hr_train"], folds)
     t_stage = time.perf_counter() - t0
 
+    # quality sensitivity: the UNTRAINED models' val MAE (same inits) is
+    # the broken-training canary (also warms the eval program so both
+    # timed passes below see identical compile state)
+    untrained_maes, _ = runner.evaluate(runner.flat0)
+    untrained_mae = float(np.asarray(untrained_maes).mean())
+
     def full_pass(checkpoint=None):
         t0 = time.perf_counter()
-        runner.train(checkpoint_path=checkpoint,
-                     checkpoint_every=max(1, cfg.epochs // 4))
+        if checkpoint is not None:
+            runner.train(checkpoint_path=checkpoint,
+                         checkpoint_every=chunk)
+        else:
+            runner.train(chunk_epochs=chunk)
         maes, _ = runner.evaluate()
         maes = np.asarray(maes)  # force sync
         return time.perf_counter() - t0, maes
 
-    # quality sensitivity: the UNTRAINED models' val MAE (same inits) is
-    # the broken-training canary; the pinned GOLDEN band below catches
-    # shape-preserving math changes (see tests/test_bench_quality.py for
-    # the deliberate-mutation demonstration)
-    untrained_maes, _ = runner.evaluate(runner.flat0)
-    untrained_mae = float(np.asarray(untrained_maes).mean())
-
-    # The cold pass trains in exact-resume checkpoint chunks (identical
-    # trajectory; verified in tests/test_checkpoint_resume.py): if a
-    # previous bench process died mid-run (tunnel stall, OOM-kill), this
-    # run resumes it instead of starting over. The steady pass is a clean
-    # single-shot program for the reported number.
+    # cold: first execution of the shared chunked program (+ exact-resume
+    # checkpoints for mid-run crash resilience); steady: same program warm
     ck = os.environ.get("FCSR_BENCH_CHECKPOINT",
                         os.path.join("outputs", "bench_checkpoint.msgpack"))
     os.makedirs(os.path.dirname(ck) or ".", exist_ok=True)
@@ -96,31 +176,11 @@ def main():
         base.append(np.abs(gts - mean_hr[None]).mean())
     baseline_mae = float(np.mean(base))
 
-    # Golden val-MAE for the shipped config on the seeded teacher dataset
-    # (v5e, f32). Any math change to the model/trainer moves this number;
-    # re-pin deliberately when the trajectory is INTENDED to change.
-    # NOTE (measured, three designed experiments — see PERF.md): a trained
-    # GSR-Net cannot beat the train-mean baseline on ANY synthetic design —
-    # its output must vary with the LR eigenbasis, and its optimizer never
-    # aligns that variation with the target's (subject-deviation corr ~ 0
-    # even for targets generated by a teacher INSIDE the model family), so
-    # the spectral 'noise' is irreducible excess MAE vs a constant
-    # predictor. Quality regression detection therefore pins the golden
-    # band + requires a wide trained-vs-untrained margin instead.
-    # measured on v5e at the shipped config (teacher dataset seed 42,
-    # 3 folds, 200 epochs, fused kernels): BENCH_r02
-    golden_mae = float(os.environ.get("FCSR_BENCH_GOLDEN_MAE", "0.038172"))
-    quality = {
-        "mean_val_mae": round(float(maes.mean()), 6),
-        "untrained_val_mae": round(untrained_mae, 6),
-        "trainmean_baseline_mae": round(baseline_mae, 6),
-    }
-    quality_ok = maes.mean() < 0.5 * untrained_mae
-    # the pinned golden is only meaningful for the seeded teacher dataset
-    # at the default 3-fold config
-    if golden_mae > 0 and splits == 3 and is_synthetic:
-        quality["golden_mae"] = golden_mae
-        quality_ok &= abs(maes.mean() - golden_mae) < 0.15 * golden_mae
+    device = str(jax.devices()[0])
+    quality, quality_ok = quality_gates(
+        float(maes.mean()), untrained_mae, is_synthetic=is_synthetic,
+        splits=splits, device_kind=device)
+    quality["trainmean_baseline_mae"] = round(baseline_mae, 6)
 
     n_train_steps = sum(len(tr) for tr, _ in folds) * cfg.epochs
     n_eval = sum(len(va) for _, va in folds)
@@ -130,16 +190,18 @@ def main():
         "metric": "connectomes/sec (160->268 upsample) train+infer",
         "value": round(rate, 2),
         "unit": "connectomes/sec",
-        "vs_baseline": round((work / 60.0) and rate / (work / 60.0), 3),
+        "vs_baseline": round(rate / (work / 60.0), 3),
         "elapsed_s": round(t_steady, 3),
         "cold_s": round(t_cold, 3),
         "stage_s": round(t_stage, 3),
         "splits": splits,
         "epochs": cfg.epochs,
+        "chunk_epochs": chunk,
         "train_steps": n_train_steps,
+        "is_synthetic": is_synthetic,
         **quality,
         "quality_ok": bool(quality_ok),
-        "device": str(jax.devices()[0]),
+        "device": device,
     }
     print(json.dumps(out))
     assert quality_ok, (

@@ -26,6 +26,8 @@ reset-per-fold mode up to float reassociation (verified in tests).
 
 from __future__ import annotations
 
+import hashlib
+import os
 from functools import lru_cache
 from typing import List
 
@@ -270,6 +272,21 @@ class GSRFoldRunner:
         self.folds = folds
         self.mesh = mesh
         self.n_folds = len(folds)
+        # run fingerprint: config + fold plan + dataset content. Stored in
+        # checkpoint blobs so a stale file from a different run (other
+        # FCSR_BENCH_SPLITS, other dataset flavor, other epochs) is
+        # detected and discarded instead of silently restored.
+        h = hashlib.blake2b(digest_size=8)
+        h.update(repr(cfg).encode())
+        h.update(repr(init_seed).encode())
+        for tr, va in folds:
+            h.update(np.asarray(tr, np.int64).tobytes())
+            h.update(np.asarray(va, np.int64).tobytes())
+        for a in (lr_all, hr_all):
+            a = np.ascontiguousarray(np.asarray(a, dtype=np.float32))
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+        self.fingerprint = h.hexdigest()
         n_pad_folds = 0
         if mesh is not None:
             n_pad_folds = (-len(folds)) % mesh.devices.size
@@ -320,15 +337,26 @@ class GSRFoldRunner:
                            self.tr_idx, self.tr_valid)
 
     def train(self, checkpoint_path: str = None,
-              checkpoint_every: int = None):
-        """Full training run; with ``checkpoint_path`` the run executes in
-        ``checkpoint_every``-epoch chunks, persisting the exact
-        (params, Adam m/v, step count, epoch) state between chunks and
-        resuming from the file if it exists. Chunked and single-shot runs
-        produce identical trajectories (the optimizer state round-trips
-        losslessly; verified in tests)."""
+              checkpoint_every: int = None, chunk_epochs: int = None):
+        """Full training run.
+
+        ``chunk_epochs`` executes the run as repeated launches of ONE
+        ``chunk_epochs``-epoch program instead of a single monolithic
+        ``cfg.epochs``-epoch program — trajectory-identical (the state
+        round-trips losslessly between launches; verified in tests), but
+        the compiled program is ~epochs/chunk_epochs times smaller, which
+        cuts the first-execution XLA compile proportionally. State stays
+        device-resident between chunks (no host pulls), so steady-state
+        throughput is unchanged. This is what bench.py runs.
+
+        With ``checkpoint_path`` the chunked state is additionally
+        persisted as exact (params, Adam m/v, step count, epoch) blobs
+        between chunks and the run resumes from the file if it exists.
+        Blobs carry the runner's fingerprint (config + folds + dataset);
+        a stale checkpoint from a different run is discarded with a
+        warning instead of restored."""
         a_norm, hr_all, u_lr, u_hr = self.data
-        if checkpoint_path is None:
+        if checkpoint_path is None and chunk_epochs is None:
             state, loss_hist, err_hist = self._train_all(
                 self.fresh_state(), a_norm, hr_all, u_lr, u_hr,
                 self.tr_idx, self.tr_valid)
@@ -336,9 +364,26 @@ class GSRFoldRunner:
             return (state[0], loss_hist[:self.n_folds],
                     err_hist[:self.n_folds])
 
-        import os
+        if checkpoint_path is None:
+            # chunked, no I/O: device-resident state between launches
+            state = self.fresh_state()
+            losses, errs = [], []
+            done = 0
+            while done < self.cfg.epochs:
+                chunk = min(chunk_epochs, self.cfg.epochs - done)
+                state, lh, eh = self._run_chunk(state, chunk)
+                losses.append(lh)
+                errs.append(eh)
+                done += chunk
+            self.flat_trained = state[0]
+            loss_hist = np.concatenate(
+                [np.asarray(x)[:self.n_folds] for x in losses], axis=1)
+            err_hist = np.concatenate(
+                [np.asarray(x)[:self.n_folds] for x in errs], axis=1)
+            return state[0], loss_hist, err_hist
 
-        checkpoint_every = checkpoint_every or max(1, self.cfg.epochs // 10)
+        checkpoint_every = checkpoint_every or chunk_epochs or \
+            max(1, self.cfg.epochs // 10)
         state = self.fresh_state()
         done = 0
         losses, errs = [], []
@@ -346,10 +391,19 @@ class GSRFoldRunner:
             import flax.serialization as ser
             with open(checkpoint_path, "rb") as f:
                 blob = ser.msgpack_restore(f.read())
-            state = tuple(self._put_folded(x) for x in blob["state"])
-            done = int(blob["epoch"])
-            losses = [np.asarray(blob["loss_hist"])]
-            errs = [np.asarray(blob["err_hist"])]
+            if (blob.get("fingerprint") == self.fingerprint
+                    and int(blob["epoch"]) <= self.cfg.epochs):
+                state = tuple(self._put_folded(x) for x in blob["state"])
+                done = int(blob["epoch"])
+                losses = [np.asarray(blob["loss_hist"])]
+                errs = [np.asarray(blob["err_hist"])]
+            else:
+                import warnings
+                warnings.warn(
+                    f"checkpoint {checkpoint_path} is from a different "
+                    "run (config/folds/dataset fingerprint mismatch) — "
+                    "discarding it and training from scratch")
+                os.remove(checkpoint_path)
 
         while done < self.cfg.epochs:
             chunk = min(checkpoint_every, self.cfg.epochs - done)
@@ -360,6 +414,7 @@ class GSRFoldRunner:
             import flax.serialization as ser
             blob = {"state": [np.asarray(x) for x in state],
                     "epoch": done,
+                    "fingerprint": self.fingerprint,
                     "loss_hist": np.concatenate(losses, axis=1),
                     "err_hist": np.concatenate(errs, axis=1)}
             tmp = checkpoint_path + ".tmp"
@@ -373,6 +428,11 @@ class GSRFoldRunner:
 
     def evaluate(self, flat_params_f=None):
         if flat_params_f is None:
+            if self.flat_trained is None:
+                raise RuntimeError(
+                    "GSRFoldRunner.evaluate() called before train(); pass "
+                    "params explicitly (e.g. runner.flat0 for the "
+                    "untrained models) or train first")
             flat_params_f = self.flat_trained
         lr_all, hr_all, u_lr, _ = self.data
         maes, preds = self._eval_all(flat_params_f, lr_all, hr_all, u_lr,

@@ -183,9 +183,12 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
         new_lr = scheduler.step(v_loss)
         if new_lr != cur_lr:
             cur_lr = new_lr
-            # lr lives in opt_state (inject_hyperparams): no re-jit
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                cur_lr, dtype=jnp.float32)
+            # lr lives in opt_state (inject_hyperparams): no re-jit.
+            # Functional rebuild — optax's hyperparams dict is an
+            # implementation detail we must not mutate in place.
+            opt_state = opt_state._replace(hyperparams={
+                **opt_state.hyperparams,
+                "learning_rate": jnp.asarray(cur_lr, jnp.float32)})
         lr_hist.append(cur_lr)
 
         if v_loss < best_val:  # reference bug (>) fixed here
@@ -228,7 +231,11 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
     ragged fold sizes, per-fold early-stop masks. Per-epoch host control
     (scheduler, best-state snapshot, early stop) matches the single-fold
     ``train_gat`` semantics with per-fold seeds ``seed + j`` (exactly what
-    ``run_gat_cv`` passes).
+    ``run_gat_cv`` passes). Dropout streams differ from ``train_gat``
+    (per-fold keys come from one ``split(PRNGKey(seed))`` and are consumed
+    on masked padding steps), so with ``drop_p > 0`` the trajectories are
+    stochastically equivalent rather than bitwise identical; with
+    ``drop_p = 0`` they match exactly (tested).
 
     Returns (model, best_variables_per_fold, histories list).
     """

@@ -188,10 +188,13 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
             val_hist.append(vloss)
             new_lr = scheduler.step(vloss)
             if new_lr != cur_lr:
-                # plateau fired: decay the traced lr in-place, no re-jit
+                # plateau fired: rebuild the InjectHyperparamsState with
+                # the decayed lr (functional — no reliance on optax
+                # exposing a mutable dict), still no re-jit
                 cur_lr = new_lr
-                opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                    cur_lr, dtype=jnp.float32)
+                opt_state = opt_state._replace(hyperparams={
+                    **opt_state.hyperparams,
+                    "learning_rate": jnp.asarray(cur_lr, jnp.float32)})
             lr_hist.append(cur_lr)
 
             if vloss < best_val:

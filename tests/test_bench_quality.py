@@ -56,6 +56,62 @@ def test_math_mutation_moves_val_mae(monkeypatch):
     assert rel > 0.15, (healthy_mae, mutated_mae, rel)
 
 
+def test_quality_gates_synthetic_branch():
+    """bench.quality_gates on the synthetic teacher dataset: both the
+    trained-vs-untrained factor and the golden band apply (on the pinned
+    device), and each gate is a separate JSON field."""
+    import bench
+
+    env = {}
+    # healthy: at the golden, well under 0.5x untrained
+    f, ok = bench.quality_gates(bench.GOLDEN_MAE, 0.27, is_synthetic=True,
+                                splits=3, device_kind="TPU v5 lite0",
+                                env=env)
+    assert ok and f["gate_trained_vs_untrained"] and f["gate_golden_band"]
+    # out of band: fails on the pinned device
+    f, ok = bench.quality_gates(bench.GOLDEN_MAE * 1.3, 0.27,
+                                is_synthetic=True, splits=3,
+                                device_kind="TPU v5 lite0", env=env)
+    assert not ok and not f["gate_golden_band"]
+    # same numbers on foreign hardware: band reported, not asserted
+    f, ok = bench.quality_gates(bench.GOLDEN_MAE * 1.3, 0.27,
+                                is_synthetic=True, splits=3,
+                                device_kind="cpu", env=env)
+    assert ok and f["golden_device_mismatch"] and not f["gate_golden_band"]
+    # broken training (mae ~ untrained) fails everywhere
+    _, ok = bench.quality_gates(0.25, 0.27, is_synthetic=True, splits=3,
+                                device_kind="cpu", env=env)
+    assert not ok
+    # non-default split count: no golden band, factor gate only
+    f, ok = bench.quality_gates(0.1, 0.27, is_synthetic=True, splits=5,
+                                device_kind="TPU v5 lite0", env=env)
+    assert ok and "gate_golden_band" not in f
+
+
+def test_quality_gates_real_data_branch():
+    """The day the Kaggle CSVs appear, a run at reference-level quality
+    (MAE ~ 0.146, untrained ~ 0.27 -> ratio 0.55) must PASS: real data
+    gates on proximity to the published reference MAE, not on the
+    synthetic 0.5x-untrained factor (VERDICT r2 weak #5)."""
+    import bench
+
+    env = {}
+    f, ok = bench.quality_gates(0.1462, 0.27, is_synthetic=False,
+                                splits=3, device_kind="TPU v5 lite0",
+                                env=env)
+    assert ok and f["gate_reference_mae"]
+    assert "gate_trained_vs_untrained" not in f
+    # a quality regression on real data fails the reference gate
+    _, ok = bench.quality_gates(0.16, 0.27, is_synthetic=False, splits=3,
+                                device_kind="TPU v5 lite0", env=env)
+    assert not ok
+    # env overrides widen the band deliberately
+    env = {"FCSR_BENCH_REF_TOL": "0.02"}
+    _, ok = bench.quality_gates(0.16, 0.27, is_synthetic=False, splits=3,
+                                device_kind="TPU v5 lite0", env=env)
+    assert ok
+
+
 def test_teacher_dataset_properties():
     lr, hr = synthesize_teacher_connectomes(6, seed=11)
     for stack, n in ((lr, 160), (hr, 268)):

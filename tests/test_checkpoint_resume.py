@@ -34,6 +34,48 @@ def test_chunked_run_matches_single_shot(tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+def test_chunked_no_checkpoint_matches_single_shot():
+    """chunk_epochs (the bench protocol: repeated launches of one small
+    program, state device-resident, no I/O) is trajectory-identical to
+    the monolithic single-shot program."""
+    lr, hr, folds = _setup()
+    p1, l1, e1 = GSRFoldRunner(CFG, lr, hr, folds).train()
+    p2, l2, e2 = GSRFoldRunner(CFG, lr, hr, folds).train(chunk_epochs=2)
+    assert l2.shape == np.asarray(l1).shape
+    np.testing.assert_allclose(np.asarray(l1), l2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e1), e2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_stale_checkpoint_discarded(tmp_path):
+    """A checkpoint from a different run (other folds/config/dataset) at
+    the same path must be detected via its fingerprint and discarded, not
+    restored (ADVICE r2: stale-blob corruption)."""
+    lr, hr, folds = _setup()
+    ck = str(tmp_path / "ck.msgpack")
+
+    # a finished run with DIFFERENT folds writes the checkpoint
+    other_folds = kfold_indices(9, 3, seed=7)
+    GSRFoldRunner(CFG, lr, hr, other_folds).train(checkpoint_path=ck,
+                                                  checkpoint_every=3)
+    assert os.path.exists(ck)
+
+    p_ref, l_ref, _ = GSRFoldRunner(CFG, lr, hr, folds).train()
+    import pytest
+    with pytest.warns(UserWarning, match="fingerprint mismatch"):
+        p2, l2, _ = GSRFoldRunner(CFG, lr, hr, folds).train(
+            checkpoint_path=ck, checkpoint_every=2)
+    np.testing.assert_allclose(np.asarray(l_ref), l2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p2),
+                               atol=1e-6)
+
+    # same-run checkpoints still resume: fingerprints match
+    r = GSRFoldRunner(CFG, lr, hr, folds)
+    r2 = GSRFoldRunner(CFG, lr, hr, folds)
+    assert r.fingerprint == r2.fingerprint
+    assert r.fingerprint != GSRFoldRunner(CFG, lr, hr, other_folds).fingerprint
+
+
 def test_resume_after_interrupt(tmp_path):
     """Simulate a crash after the first chunk: a fresh runner resuming
     from the checkpoint completes to the same final state."""
@@ -46,6 +88,7 @@ def test_resume_after_interrupt(tmp_path):
     state, lh, eh = r._run_chunk(r.fresh_state(), 2)
     ck = str(tmp_path / "ck.msgpack")
     blob = {"state": [np.asarray(x) for x in state], "epoch": 2,
+            "fingerprint": r.fingerprint,
             "loss_hist": np.asarray(lh), "err_hist": np.asarray(eh)}
     with open(ck, "wb") as f:
         f.write(ser.msgpack_serialize(blob))

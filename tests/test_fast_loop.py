@@ -67,3 +67,19 @@ def test_fast_eval_matches_direct_forward():
         np.testing.assert_allclose(fold_maes[j],
                                    np.abs(preds_ref - gts).mean(),
                                    atol=1e-5)
+
+
+def test_evaluate_before_train_raises():
+    """evaluate() with no trained state must fail loudly, not feed None
+    into the jitted program (VERDICT r2 nit)."""
+    import pytest
+
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    lr, hr = _small_data()
+    runner = GSRFoldRunner(CFG, lr, hr, kfold_indices(9, 3, seed=42))
+    with pytest.raises(RuntimeError, match="before train"):
+        runner.evaluate()
+    # explicit params still work untrained
+    maes, _ = runner.evaluate(runner.flat0)
+    assert np.all(np.isfinite(np.asarray(maes)))

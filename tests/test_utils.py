@@ -75,3 +75,22 @@ def test_host_shard_slice_single_host():
     assert maybe_initialize_distributed() is False
     s = host_shard_slice(10)
     assert (s.stop - s.start) == 10  # single process gets everything
+
+
+def test_optax_inject_hyperparams_replace_contract():
+    """The plateau-decay path rebuilds InjectHyperparamsState functionally
+    (opt_state._replace(hyperparams={...})). Pin the optax contract this
+    relies on: the state is a NamedTuple whose replaced learning_rate is
+    what subsequent updates consume (ADVICE r2: no in-place dict
+    mutation)."""
+    import optax
+
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1.0)
+    p = np.ones(3, np.float32)
+    s = tx.init(p)
+    assert hasattr(s, "_replace") and "learning_rate" in s.hyperparams
+    s = s._replace(hyperparams={**s.hyperparams,
+                                "learning_rate": np.float32(0.25)})
+    g = np.ones(3, np.float32)
+    upd, _ = tx.update(g, s, p)
+    np.testing.assert_allclose(np.asarray(upd), -0.25 * g, atol=1e-7)
