@@ -7,6 +7,8 @@ model — preserves every shape and dtype and still trains to finite
 losses; only the quality gates catch it.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,7 @@ def _run(cfg, lr, hr, folds):
     return float(np.asarray(maes).mean()), float(np.asarray(untrained).mean())
 
 
+@pytest.mark.slow
 def test_math_mutation_moves_val_mae(monkeypatch):
     lr, hr = synthesize_teacher_connectomes(24, lr_dim=24, hr_dim=40,
                                             n_comm=6, seed=3)

@@ -5,6 +5,7 @@ round-trips)."""
 import os
 
 import numpy as np
+import pytest
 
 from fcsr_tpu.data import load_or_synthesize
 from fcsr_tpu.data.datamodule import kfold_indices
@@ -22,6 +23,26 @@ def _setup():
     return lr, hr, kfold_indices(9, 3, seed=42)
 
 
+def test_fingerprint_discriminates_runs():
+    """The checkpoint fingerprint must separate runs by config, fold
+    plan, and dataset content (fast-lane coverage; the end-to-end
+    discard/resume behavior is exercised by the slow tests below)."""
+    import dataclasses
+
+    lr, hr, folds = _setup()
+    r1 = GSRFoldRunner(CFG, lr, hr, folds)
+    assert r1.fingerprint == GSRFoldRunner(CFG, lr, hr, folds).fingerprint
+    other = kfold_indices(9, 3, seed=7)
+    assert r1.fingerprint != GSRFoldRunner(CFG, lr, hr, other).fingerprint
+    cfg2 = dataclasses.replace(CFG, epochs=7)
+    assert r1.fingerprint != GSRFoldRunner(cfg2, lr, hr, folds).fingerprint
+    hr2 = hr.copy()
+    hr2[0, 0, 1] += 0.5
+    hr2[0, 1, 0] += 0.5
+    assert r1.fingerprint != GSRFoldRunner(CFG, lr, hr2, folds).fingerprint
+
+
+@pytest.mark.slow
 def test_chunked_run_matches_single_shot(tmp_path):
     lr, hr, folds = _setup()
     p1, l1, e1 = GSRFoldRunner(CFG, lr, hr, folds).train()
@@ -34,6 +55,7 @@ def test_chunked_run_matches_single_shot(tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_no_checkpoint_matches_single_shot():
     """chunk_epochs (the bench protocol: repeated launches of one small
     program, state device-resident, no I/O) is trajectory-identical to
@@ -47,6 +69,7 @@ def test_chunked_no_checkpoint_matches_single_shot():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stale_checkpoint_discarded(tmp_path):
     """A checkpoint from a different run (other folds/config/dataset) at
     the same path must be detected via its fingerprint and discarded, not
@@ -61,7 +84,6 @@ def test_stale_checkpoint_discarded(tmp_path):
     assert os.path.exists(ck)
 
     p_ref, l_ref, _ = GSRFoldRunner(CFG, lr, hr, folds).train()
-    import pytest
     with pytest.warns(UserWarning, match="fingerprint mismatch"):
         p2, l2, _ = GSRFoldRunner(CFG, lr, hr, folds).train(
             checkpoint_path=ck, checkpoint_every=2)
@@ -76,6 +98,7 @@ def test_stale_checkpoint_discarded(tmp_path):
     assert r.fingerprint != GSRFoldRunner(CFG, lr, hr, other_folds).fingerprint
 
 
+@pytest.mark.slow
 def test_resume_after_interrupt(tmp_path):
     """Simulate a crash after the first chunk: a fresh runner resuming
     from the checkpoint completes to the same final state."""

@@ -2,6 +2,8 @@
 conversion (ref: utils/data.py:15-54), and topological node features
 (ref: dataset.py:34-99)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +53,7 @@ def test_differentiable_metrics_match_naive(rng):
     np.testing.assert_allclose(pr.sum(), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_gsr_loss_zero_for_identical(rng):
     a = jnp.asarray(np.stack([random_symmetric(rng, 8) for _ in range(2)]))
     assert float(gsr_loss(a, a)) == 0.0

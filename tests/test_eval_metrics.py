@@ -169,6 +169,7 @@ def test_backends_agree(rng):
                                    err_msg=key)
 
 
+@pytest.mark.slow
 def test_print_metrics_writes_file(rng, tmp_path):
     gt = np.stack([random_symmetric(rng, 16, density=0.6) for _ in range(2)])
     pred = gt * 0.9

@@ -3,6 +3,7 @@ per-fold trajectory exactly (up to float reassociation)."""
 
 import jax
 import numpy as np
+import pytest
 
 from fcsr_tpu.data import load_or_synthesize
 from fcsr_tpu.data.datamodule import kfold_indices
@@ -26,6 +27,7 @@ def _small_data():
             d["hr_train"][:, :32, :32].copy())
 
 
+@pytest.mark.slow
 def test_fast_matches_parity_per_fold():
     lr, hr = _small_data()
     folds = kfold_indices(9, 3, seed=42)
@@ -41,6 +43,7 @@ def test_fast_matches_parity_per_fold():
         np.testing.assert_allclose(loss_hist[j], hist["loss"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fast_eval_matches_direct_forward():
     """Batched fold eval equals per-sample forwards with the SAME
     precomputed eigenbasis. (GSRNet output is NOT invariant to eigenvector
@@ -72,8 +75,6 @@ def test_fast_eval_matches_direct_forward():
 def test_evaluate_before_train_raises():
     """evaluate() with no trained state must fail loudly, not feed None
     into the jitted program (VERDICT r2 nit)."""
-    import pytest
-
     from fcsr_tpu.train.fast_loop import GSRFoldRunner
 
     lr, hr = _small_data()

@@ -2,6 +2,8 @@
 with the top_k/gather model under XLA, and the fused kernels in interpret
 mode. (On-hardware status: see models/fused_step.py docstring.)"""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,7 @@ def _setup(rng):
     return model, params, a_norm, hr_m, u_lr, u_hr
 
 
+@pytest.mark.slow
 def test_rankselect_step_loss_bitexact_vs_model(rng):
     """step_loss_pure (comparison-matmul pooling) == the gather/top_k
     GSRNet loss, value AND grads, bit-for-bit under XLA."""
@@ -66,6 +69,7 @@ def test_rankselect_step_loss_bitexact_vs_model(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_step_kernel_interpret(rng):
     model, params, a_norm, hr_m, u_lr, u_hr = _setup(rng)
     (l0, e0), g0 = jax.value_and_grad(
@@ -96,6 +100,7 @@ def test_unet_rankselect_matches_module(rng):
                                np.asarray(want_start), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_unet_fused_fwdonly_interpret(rng):
     """Fused-forward U-Net (interpret) + XLA backward matches the pure
     rank-select function's value and gradients."""
@@ -122,6 +127,7 @@ def test_unet_fused_fwdonly_interpret(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fully_fused_trainer_matches_unfused(rng):
     """fast trainer with fused_tail+fused_unet (interpret on CPU) tracks
     the unfused trainer's loss history."""

@@ -44,6 +44,7 @@ def test_fold_parallel_matches_single_fold(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fold_parallel_ragged_folds(rng):
     """3 folds over 11 samples: ragged train/val sizes exercise the
     masked-step padding; histories must be finite and losses decrease."""

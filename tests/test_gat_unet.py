@@ -1,6 +1,8 @@
 """Tests for the GAT Graph-U-Net family
 (ref: unet-transformer.py) and its training loop."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +98,7 @@ def test_unet_loss_pairing(rng):
     assert float(loss) >= float(loss_no_int)
 
 
+@pytest.mark.slow
 def test_gat_training_runs_and_improves(rng):
     cfg = SMALL
     model, variables, tx, opt = init_gat(cfg, jax.random.PRNGKey(1))
@@ -120,6 +123,7 @@ def test_precompute_features_match_in_forward(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gat_unet_skip_connections(rng):
     """skip=True adds down-path and input skips
     (ref: unet-transformer.py:336-359); outputs must differ from the

@@ -2,6 +2,10 @@
 reference's quirk) vs clean reset-per-fold, and GSRLoss as a training
 criterion."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # whole-pipeline trainers: full lane only
+
 import numpy as np
 
 from fcsr_tpu.data import load_or_synthesize

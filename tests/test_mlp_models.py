@@ -1,6 +1,8 @@
 """Tests for the MLP model family and the generic training loop
 (ref: models/mlp.py, training_template.ipynb cell-5, utils/training.py)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +36,7 @@ def test_superres_mlp_shapes(rng):
     assert "batch_stats" in updates
 
 
+@pytest.mark.slow
 def test_spectral_mlp_output_properties(rng):
     model = SpectralResMLP(num_nodes_input=10, num_nodes_output=14,
                            num_hidden=24, n_layers=1)
@@ -83,6 +86,7 @@ def test_plateau_scheduler_matches_torch_semantics():
         assert lrs[-1] < 1.0  # at least one decay happened
 
 
+@pytest.mark.slow
 def test_train_model_end_to_end(rng):
     """MLP learns identity-ish mapping on tiny synthetic data; best-state
     restore and histories have the reference's contract."""

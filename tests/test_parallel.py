@@ -32,6 +32,7 @@ def test_mesh_shapes():
     assert mesh.devices.shape == (8,)
 
 
+@pytest.mark.slow
 def test_sharded_step_runs_and_is_replicated(rng):
     devices = jax.devices()[:8]
     mesh = batch_mesh(devices)
@@ -58,6 +59,7 @@ def test_sharded_step_runs_and_is_replicated(rng):
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(rng):
     """The 8-way data-parallel step computes the same mean-gradient update
     as the same batch on one device."""
@@ -111,6 +113,7 @@ def _fold_dataset(rng, n=24):
     return lr, hr
 
 
+@pytest.mark.slow
 def test_fold_sharded_trainer_matches_single_device(rng):
     """The PRODUCTION multi-chip path: GSRFoldRunner with a mesh shards the
     fold axis over 8 devices (3 real folds padded with masked no-op folds)
@@ -144,6 +147,7 @@ def test_fold_sharded_trainer_matches_single_device(rng):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fold_sharded_trainer_divisible_fold_count(rng):
     """4 folds on a 4-device submesh — no padding branch."""
     from fcsr_tpu.data.datamodule import kfold_indices
@@ -163,6 +167,7 @@ def test_fold_sharded_trainer_divisible_fold_count(rng):
     np.testing.assert_allclose(np.asarray(lh1), np.asarray(lh2), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fold_sharded_checkpoint_chunks(rng, tmp_path):
     """Chunked (checkpointed) sharded training matches the single-shot
     sharded run — the bench's resilience path under multi-chip."""

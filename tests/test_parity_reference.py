@@ -27,6 +27,7 @@ def _tools():
     return mod
 
 
+@pytest.mark.slow
 def test_torch_interop_roundtrip():
     """flax -> torch-state -> flax is the identity on the param tree."""
     import jax
@@ -50,6 +51,7 @@ def test_torch_interop_roundtrip():
 
 
 @needs_reference
+@pytest.mark.slow
 def test_torch_state_dict_names_match_reference_model():
     """Our converter's key set is exactly the reference GSRNet's
     state_dict key set (so transplants load without strict=False)."""

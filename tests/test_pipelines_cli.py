@@ -14,6 +14,7 @@ def tiny_data():
     return load_or_synthesize(None, n_train=9, n_test=3, seed=1)
 
 
+@pytest.mark.slow
 def test_run_mlp_cv(tiny_data):
     from fcsr_tpu.pipelines import run_mlp_cv
     result = run_mlp_cv(tiny_data, k_folds=2, p_val=0.3, num_epochs=2,
@@ -22,6 +23,7 @@ def test_run_mlp_cv(tiny_data):
     assert len(result["histories"]) == 2
 
 
+@pytest.mark.slow
 def test_run_gat_cv(tiny_data):
     from fcsr_tpu.pipelines import run_gat_cv
     from fcsr_tpu.train.gat_loop import GATTrainConfig
@@ -30,6 +32,7 @@ def test_run_gat_cv(tiny_data):
     assert result["test_preds"].shape == (3, 268, 268)
 
 
+@pytest.mark.slow
 def test_cli_train_gsr_fast(tmp_path, monkeypatch, tiny_data):
     """CLI gsr --fast end-to-end with synthetic data + submission files."""
     from fcsr_tpu import cli
@@ -67,6 +70,7 @@ def test_cli_evaluate(tmp_path):
     assert (tmp_path / "results_fold_1.txt").exists()
 
 
+@pytest.mark.slow
 def test_mlp_v1_variant(tiny_data):
     from fcsr_tpu.pipelines import run_mlp_cv
     r = run_mlp_cv(tiny_data, k_folds=2, num_epochs=2, batch_size=4,
@@ -74,6 +78,7 @@ def test_mlp_v1_variant(tiny_data):
     assert r["test_preds"].shape == (3, 268, 268)
 
 
+@pytest.mark.slow
 def test_cli_predict_roundtrip(tmp_path, monkeypatch, tiny_data):
     """Save trained GSR params via the fast pipeline, reload through the
     predict subcommand, and get a valid submission."""
