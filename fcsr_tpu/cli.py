@@ -8,6 +8,7 @@ The reference has no CLI (entry points are notebooks and one script
     python -m fcsr_tpu train gat  --data-dir data --splits 3
     python -m fcsr_tpu evaluate   --gt gt.npz --pred pred.npz --fold 0
     python -m fcsr_tpu predict    --params params.msgpack --out sub.csv
+    python -m fcsr_tpu submit     --csv submission.csv -m "message"
 
 Synthetic data is substituted automatically when the Kaggle CSVs are not
 present in --data-dir (the challenge data is private).
@@ -103,6 +104,16 @@ def build_parser():
     pr.add_argument("--ordering", default="rowmajor",
                     choices=["rowmajor", "colmajor"])
     pr.add_argument("--seed", type=int, default=42)
+
+    from fcsr_tpu.iox.submission import DEFAULT_COMPETITION
+    sm = sub.add_parser("submit",
+                        help="submit a written CSV to the Kaggle challenge "
+                             "(ref: training_gsr.ipynb cell-9)")
+    sm.add_argument("--csv", default="submission.csv")
+    sm.add_argument("--message", "-m", default="fcsr_tpu submission")
+    sm.add_argument("--competition", default=DEFAULT_COMPETITION)
+    sm.add_argument("--dry-run", action="store_true",
+                    help="print the kaggle CLI command instead of running it")
 
     return ap
 
@@ -200,6 +211,15 @@ def main(argv=None):
         print(f"submission written: {args.out} "
               f"({preds.shape[0]} subjects, {args.ordering})")
         return 0
+
+    if args.cmd == "submit":
+        from fcsr_tpu.iox.submission import kaggle_submit
+        if not os.path.exists(args.csv):
+            print(f"no such file: {args.csv}", file=sys.stderr)
+            return 2
+        return kaggle_submit(args.csv, args.message,
+                             competition=args.competition,
+                             dry_run=args.dry_run)
 
     if args.cmd == "evaluate":
         from fcsr_tpu.evalx.report import print_metrics

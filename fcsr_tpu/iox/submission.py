@@ -17,7 +17,12 @@ import numpy as np
 
 from fcsr_tpu.core.vectorize import vectorize_batch, vectorize_rowmajor
 
-__all__ = ["submission_frame", "save_prediction"]
+__all__ = ["submission_frame", "save_prediction", "kaggle_submit",
+           "DEFAULT_COMPETITION"]
+
+# the challenge both entry notebooks submit to
+# (ref: training_gsr.ipynb cell-9, training_template.ipynb last cell)
+DEFAULT_COMPETITION = "dgl-2025-brain-graph-super-resolution-challenge"
 
 
 def _vectorize(preds: np.ndarray, ordering: str) -> np.ndarray:
@@ -42,3 +47,26 @@ def save_prediction(preds, output_file: str, ordering: str = "colmajor"):
     df = submission_frame(preds, ordering)
     df.to_csv(output_file, index=False)
     return df["Predicted"].to_numpy()
+
+
+def kaggle_submit(csv_path: str, message: str,
+                  competition: str = DEFAULT_COMPETITION,
+                  dry_run: bool = False):
+    """Submit a written CSV to the Kaggle challenge via the ``kaggle`` CLI
+    (ref: training_gsr.ipynb cell-9 / training_template.ipynb last cell).
+
+    Requires the ``kaggle`` CLI and ``~/.kaggle/kaggle.json`` credentials
+    on the host; ``dry_run=True`` (or a missing CLI) prints the exact
+    command instead so it can be run where credentials live. Returns the
+    CLI's exit code (0 on success or dry run)."""
+    import shutil
+    import subprocess
+
+    cmd = ["kaggle", "competitions", "submit", "-c", competition,
+           "-f", csv_path, "-m", message]
+    if dry_run or shutil.which("kaggle") is None:
+        print("kaggle CLI not invoked"
+              + (" (dry run)" if dry_run else " (CLI not installed)")
+              + "; run:\n  " + " ".join(cmd))
+        return 0
+    return subprocess.call(cmd)

@@ -102,3 +102,20 @@ def test_cli_predict_roundtrip(tmp_path, monkeypatch, tiny_data):
     import pandas as pd
     df = pd.read_csv(out)
     assert len(df) == 3 * (268 * 267 // 2)
+
+
+def test_cli_submit_dry_run(tmp_path, capsys):
+    """The submit subcommand mirrors the notebooks' kaggle CLI call
+    (ref: training_gsr.ipynb cell-9); with --dry-run (or no kaggle CLI
+    installed) it prints the exact command instead of invoking it."""
+    from fcsr_tpu import cli
+
+    csv = tmp_path / "submission.csv"
+    csv.write_text("ID,Predicted\n1,0.5\n")
+    rc = cli.main(["submit", "--csv", str(csv), "-m", "msg", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "kaggle competitions submit" in out
+    assert "dgl-2025-brain-graph-super-resolution-challenge" in out
+    # missing file is a clean error, not a kaggle invocation
+    assert cli.main(["submit", "--csv", str(tmp_path / "nope.csv")]) == 2
