@@ -47,6 +47,11 @@ class GATTrainConfig:
     plateau_factor: float = 0.1
     intermediate_losses: bool = True
     weight_decay: float = 0.01
+    # scan unroll for the fold-parallel trainer's per-epoch step loop.
+    # Exact math either way; measured on v5e (PERF.md): unroll=2 cuts the
+    # steady 3x100ep run 117 s -> 53 s but roughly quadruples the
+    # first-process compile (84 s -> ~320 s). Set 1 for one-shot runs.
+    scan_unroll: int = 2
 
     def model(self) -> GATGraphUnet:
         return GATGraphUnet(ks=self.ks, n_nodes=self.n_nodes,
@@ -300,8 +305,11 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                 m = jnp.where(ok > 0, m_new, m)
                 v = jnp.where(ok > 0, v_new, v)
                 return (p, m, v, t_new, key), loss * ok
+            # unroll: fewer scan-loop iterations per epoch (exact math;
+            # same lever as the GSR fast trainer — see cfg.scan_unroll)
             (p, m, v, t, _), losses = jax.lax.scan(
-                step, (*state, key), (order, valid))
+                step, (*state, key), (order, valid),
+                unroll=max(1, cfg.scan_unroll))
             denom = jnp.maximum((valid * active).sum(), 1.0)
             return (p, m, v, t), jnp.sum(losses) / denom
 
