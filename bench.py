@@ -123,10 +123,13 @@ def main():
     is_synthetic = not os.path.exists(os.path.join(data_dir, "lr_train.csv"))
     data = load_or_synthesize(data_dir, n_train=167, n_test=112, seed=42)
 
-    # reference config (200 epochs, lr 1e-4) with the fused Pallas tail
-    # (identical math to the unfused path — see models/fused_tail.py and
-    # the trajectory-equivalence test)
-    cfg = GSRTrainConfig(fused_tail=True, fused_unet=True)
+    # reference config (200 epochs, lr 1e-4) with the fused Pallas tail,
+    # fused U-Net forward AND the hand-written fused U-Net backward
+    # (identical math to the unfused path up to float reassociation — see
+    # models/fused_tail.py / models/fused_step.py and the
+    # trajectory-equivalence tests)
+    cfg = GSRTrainConfig(fused_tail=True, fused_unet=True,
+                         fused_unet_bwd=True)
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)

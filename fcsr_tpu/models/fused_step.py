@@ -68,7 +68,7 @@ def _mm(a, b):
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 __all__ = ["step_loss_pure", "step_value_and_grad_fused",
-           "unet_forward_rankselect", "unet_fused"]
+           "unet_forward_rankselect", "unet_fused", "unet_fused_fwdbwd"]
 
 
 def _topk_projection(scores, k: int):
@@ -309,6 +309,292 @@ def _build_step_kernel(ks: Sequence[float], lr_dim: int, hr_dim: int,
             g_ref[:] = g
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Fused U-Net forward AND hand-written backward kernels (residual-based).
+#
+# The in-kernel ``jax.vjp`` backward (unet_fused above) rematerializes the
+# whole forward inside the gradient kernel, which makes its jaxpr ~3x the
+# forward's and crashes the TPU compile service. The backward below is
+# instead written out by hand against residuals SAVED by the forward kernel
+# (each level's pre-pool features, scores, selection matrices and unpool
+# inputs), so its jaxpr is the same size class as the forward's — and it
+# compiles. Gradients are the standard transposed-matmul adjoints evaluated
+# with the same bf16x3 compensated matmul as the forward; they agree with
+# ``jax.grad`` of the pure function to float-reassociation level (~1e-6
+# relative, tested), the same accuracy class as the bf16x3 forward itself.
+# ---------------------------------------------------------------------------
+
+
+def _lin_names(n_levels: int):
+    """Kernel operand order for the U-Net's 15 linear modules."""
+    return (["start_gcn"]
+            + [f"down_gcns_{i}" for i in range(n_levels)]
+            + [f"pools_{i}" for i in range(n_levels)]
+            + ["bottom_gcn"]
+            + [f"up_gcns_{i}" for i in range(n_levels)]
+            + ["end_gcn"])
+
+
+@functools.lru_cache(maxsize=8)
+def _make_unet_fwdbwd(ks: tuple, lr_dim: int, hr_dim: int, interpret: bool):
+    """Build the (fwd kernel with residual outputs, bwd kernel) pair for a
+    static config. Operands are passed by NAME ORDER (_lin_names), kernels
+    then biases, so no treedef is needed inside the kernels."""
+    sizes = pool_sizes(lr_dim, ks)
+    L = len(ks)
+    names = _lin_names(L)
+    pre_sizes = (lr_dim,) + sizes[:-1]  # node count entering each level
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+
+    # ---- forward kernel: net, start, residuals --------------------------
+    def fwd_kernel(*refs):
+        w = {n: refs[j][:] for j, n in enumerate(names)}
+        b = {n: refs[len(names) + j][:] for j, n in enumerate(names)}
+        outs = refs[2 * len(names):]
+        (net_ref, start_ref) = outs[0], outs[1]
+        d_refs = outs[2:2 + L]
+        s_refs = outs[2 + L:2 + 2 * L]
+        p_refs = outs[2 + 2 * L:2 + 3 * L]
+        pool_refs = outs[2 + 3 * L:2 + 4 * L]
+        xu_refs = outs[2 + 4 * L:2 + 5 * L]
+        xf_ref = outs[2 + 5 * L]
+
+        def lin(name, x):
+            return _mm(x, w[name]) + b[name]  # bias staged (1, n)
+
+        x = lin("start_gcn", jnp.eye(lr_dim, dtype=f32))
+        start_ref[:] = x
+        org_x = x
+        projs = []
+        for i in range(L):
+            d = lin(f"down_gcns_{i}", x)
+            d_refs[i][:] = d
+            n_i = d.shape[0]
+            ones_col = jnp.ones((n_i, 1), dtype=f32)
+            logits = (_mm(d, w[f"pools_{i}"])
+                      + _mm(ones_col, b[f"pools_{i}"]))
+            s = jax.nn.sigmoid(logits[:, 0] / 100.0)
+            s_refs[i][:] = s[:, None]
+            proj = _topk_projection(s, sizes[i])
+            p_refs[i][:] = proj
+            projs.append(proj)
+            ks_col = _mm(proj, s[:, None])
+            x = _mm(proj, d) * ks_col
+            pool_refs[i][:] = x
+
+        x = lin("bottom_gcn", x)
+        for i in range(L):
+            up = L - i - 1
+            xu = _mm(projs[up].T, x)
+            xu_refs[up][:] = xu
+            x = lin(f"up_gcns_{i}", xu)
+            x = x + d_refs[up][:]
+        xf_ref[:] = x
+        cat = jnp.concatenate([x, org_x], axis=1)
+        net_ref[:] = lin("end_gcn", cat)
+
+    fwd_out_shapes = (
+        [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)] * 2          # net, x0
+        + [jax.ShapeDtypeStruct((pre_sizes[i], hr_dim), f32)       # d_i
+           for i in range(L)]
+        + [jax.ShapeDtypeStruct((pre_sizes[i], 1), f32)            # s_i
+           for i in range(L)]
+        + [jax.ShapeDtypeStruct((sizes[i], pre_sizes[i]), f32)     # P_i
+           for i in range(L)]
+        + [jax.ShapeDtypeStruct((sizes[i], hr_dim), f32)           # pooled_i
+           for i in range(L)]
+        + [jax.ShapeDtypeStruct((pre_sizes[i], hr_dim), f32)       # xu_i
+           for i in range(L)]
+        + [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)])           # x_final
+
+    # ---- backward kernel: hand-written adjoints over the residuals ------
+    # inputs: Wa_end, Wb_end (end kernel pre-split outside the kernel — a
+    # static lane-dim slice at hr_dim is not 128-aligned for Mosaic),
+    # W_bottom, W_down_i x L, W_up_i x L, Wp_i x L, then residuals
+    # (x0, d_i, s_i, P_i, pooled_i, xu_i, x_final), then ct_net, ct_start.
+    # outputs: dWa_end, dWb_end, db_end, dW/db for bottom/down/up/pool,
+    # dW/db for start.
+    def bwd_kernel(*refs):
+        k = 0
+
+        def take(n):
+            nonlocal k
+            out = refs[k:k + n]
+            k += n
+            return out
+
+        (wa_end,), (wb_end,), (w_bot,) = take(1), take(1), take(1)
+        w_down = take(L)
+        w_up = take(L)
+        w_pool = take(L)
+        (x0_ref,) = take(1)
+        d_refs = take(L)
+        s_refs = take(L)
+        p_refs = take(L)
+        pool_refs = take(L)
+        xu_refs = take(L)
+        (xf_ref,) = take(1)
+        (ct_net_ref,) = take(1)
+        (ct_start_ref,) = take(1)
+        outs = refs[k:]
+
+        ct_net = ct_net_ref[:]
+        x0 = x0_ref[:]
+        xf = xf_ref[:]
+
+        def colsum(g):
+            return _mm(jnp.ones((1, g.shape[0]), dtype=f32), g)
+
+        # end_gcn: net = _mm(xf, Wa) + _mm(x0, Wb) + b_end
+        dwa_end = _mm(xf.T, ct_net)
+        dwb_end = _mm(x0.T, ct_net)
+        db_end = colsum(ct_net)
+        g_x = _mm(ct_net, wa_end[:].T)
+        g_org = _mm(ct_net, wb_end[:].T)
+
+        # up chain (reverse of forward's i = 0..L-1, up = L-1-i)
+        dw_up, db_up = [None] * L, [None] * L
+        g_skip = [None] * L
+        g = g_x
+        for i in reversed(range(L)):
+            up = L - i - 1
+            xu = xu_refs[up][:]
+            g_skip[up] = g
+            dw_up[i] = _mm(xu.T, g)
+            db_up[i] = colsum(g)
+            g_xu = _mm(g, w_up[i][:].T)
+            g = _mm(p_refs[up][:], g_xu)
+
+        # bottom_gcn: b_out = lin(bottom, pooled_{L-1})
+        dw_bot = _mm(pool_refs[L - 1][:].T, g)
+        db_bot = colsum(g)
+        g_p = _mm(g, w_bot[:].T)
+
+        # down/pool chain backwards
+        dw_down, db_down = [None] * L, [None] * L
+        dw_pool, db_pool = [None] * L, [None] * L
+        for i in reversed(range(L)):
+            proj = p_refs[i][:]
+            d = d_refs[i][:]
+            s_col = s_refs[i][:]
+            pre = _mm(proj, d)
+            ks_col = _mm(proj, s_col)
+            g_pre = g_p * ks_col
+            g_ks = _mm(g_p * pre, jnp.ones((hr_dim, 1), dtype=f32))
+            g_d = _mm(proj.T, g_pre)
+            g_s = _mm(proj.T, g_ks)
+            g_logits = g_s * s_col * (1.0 - s_col) * (1.0 / 100.0)
+            dw_pool[i] = _mm(d.T, g_logits)
+            db_pool[i] = colsum(g_logits)
+            g_d = g_d + _mm(g_logits, w_pool[i][:].T) + g_skip[i]
+            x_in = x0 if i == 0 else pool_refs[i - 1][:]
+            dw_down[i] = _mm(x_in.T, g_d)
+            db_down[i] = colsum(g_d)
+            g_p = _mm(g_d, w_down[i][:].T)
+
+        # start_gcn: input is the identity, so dW = ct directly
+        g_x0 = g_p + g_org + ct_start_ref[:]
+        dw_start = g_x0
+        db_start = colsum(g_x0)
+
+        grads = ([dw_start] + dw_down + dw_pool + [dw_bot] + dw_up
+                 + [dwa_end, dwb_end]
+                 + [db_start] + db_down + db_pool + [db_bot] + db_up
+                 + [db_end])
+        for ref, gval in zip(outs, grads):
+            ref[:] = gval
+
+    def bwd_out_shapes():
+        kernel_shapes = (
+            [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)]           # start
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # down
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, 1), f32)               # pool
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]         # bottom
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # up
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)] * 2)    # end a/b
+        bias_shapes = (
+            [jax.ShapeDtypeStruct((1, hr_dim), f32)]                # start
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
+               for _ in range(L)]                                    # down
+            + [jax.ShapeDtypeStruct((1, 1), f32) for _ in range(L)]  # pool
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)]              # bottom
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
+               for _ in range(L)]                                    # up
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)])             # end
+        return tuple(kernel_shapes + bias_shapes)
+
+    def pack(net_params):
+        """params dict -> (kernels list, staged biases list) in name order."""
+        ws = [net_params[n]["proj"]["kernel"] for n in names]
+        bs = [net_params[n]["proj"]["bias"][None, :] for n in names]
+        return ws, bs
+
+    @jax.custom_vjp
+    def unet(net_params):
+        ws, bs = pack(net_params)
+        outs = pl.pallas_call(
+            fwd_kernel, in_specs=[vmem] * (2 * len(names)),
+            out_specs=tuple([vmem] * len(fwd_out_shapes)),
+            out_shape=tuple(fwd_out_shapes),
+            interpret=interpret)(*ws, *bs)
+        return outs[0], outs[1]
+
+    def fwd(net_params):
+        ws, bs = pack(net_params)
+        outs = pl.pallas_call(
+            fwd_kernel, in_specs=[vmem] * (2 * len(names)),
+            out_specs=tuple([vmem] * len(fwd_out_shapes)),
+            out_shape=tuple(fwd_out_shapes),
+            interpret=interpret)(*ws, *bs)
+        net, x0 = outs[0], outs[1]
+        residuals = outs[1:]  # x0, d, s, P, pooled, xu, x_final
+        w_end = net_params["end_gcn"]["proj"]["kernel"]
+        w_in = ([w_end[:hr_dim], w_end[hr_dim:],
+                 net_params["bottom_gcn"]["proj"]["kernel"]]
+                + [net_params[f"down_gcns_{i}"]["proj"]["kernel"]
+                   for i in range(L)]
+                + [net_params[f"up_gcns_{i}"]["proj"]["kernel"]
+                   for i in range(L)]
+                + [net_params[f"pools_{i}"]["proj"]["kernel"]
+                   for i in range(L)])
+        return (net, x0), (tuple(w_in), residuals)
+
+    def bwd(saved, cts):
+        w_in, residuals = saved
+        ct_net, ct_start = cts
+        n_in = len(w_in) + len(residuals) + 2
+        outs = pl.pallas_call(
+            bwd_kernel, in_specs=[vmem] * n_in,
+            out_specs=tuple([vmem] * len(bwd_out_shapes())),
+            out_shape=bwd_out_shapes(),
+            interpret=interpret)(*w_in, *residuals, ct_net, ct_start)
+        n_mod = len(names)
+        dws, dbs = list(outs[:n_mod + 1]), list(outs[n_mod + 1:])
+        dw_end = jnp.concatenate([dws[n_mod - 1], dws[n_mod]], axis=0)
+        dws = dws[:n_mod - 1] + [dw_end]
+        grads = {}
+        for j, n in enumerate(names):
+            grads[n] = {"proj": {"kernel": dws[j],
+                                 "bias": dbs[j][0]}}
+        return (grads,)
+
+    unet.defvjp(fwd, bwd)
+    return unet
+
+
+def unet_fused_fwdbwd(net_params, ks: Sequence[float], lr_dim: int,
+                      hr_dim: int, interpret: bool = False):
+    """Differentiable fused U-Net whose forward AND backward each run as
+    one Mosaic kernel (hand-written residual-based adjoints — see the
+    section comment above). Returns (net_outs, start_gcn_outs)."""
+    fn = _make_unet_fwdbwd(tuple(ks), lr_dim, hr_dim, bool(interpret))
+    return fn(net_params)
 
 
 def step_value_and_grad_fused(params, u_lr, u_hr, hr,

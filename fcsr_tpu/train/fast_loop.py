@@ -77,11 +77,17 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
         eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
 
         def run_unet(params, a_norm_m):
+            interp = jax.default_backend() != "tpu"
+            if cfg.fused_unet and cfg.fused_unet_bwd:
+                from fcsr_tpu.models.fused_step import unet_fused_fwdbwd
+                return unet_fused_fwdbwd(
+                    params["params"]["net"], cfg.ks, cfg.lr_dim,
+                    cfg.hr_dim, interpret=interp)
             if cfg.fused_unet:
                 from fcsr_tpu.models.fused_step import unet_fused_fwdonly
                 return unet_fused_fwdonly(
                     params["params"]["net"], cfg.ks, cfg.lr_dim,
-                    cfg.hr_dim, interpret=jax.default_backend() != "tpu")
+                    cfg.hr_dim, interpret=interp)
             return unet.apply({"params": params["params"]["net"]},
                               a_norm_m, eye)
 

@@ -47,6 +47,12 @@ class GSRTrainConfig:
     # run the U-Net forward as one fused kernel too (rank-select
     # formulation, models/fused_step.py; XLA backward)
     fused_unet: bool = False
+    # also run the U-Net BACKWARD as one kernel (hand-written
+    # residual-based adjoints, models/fused_step.py::unet_fused_fwdbwd):
+    # removes the rematerialized-forward + backward op-graph from the XLA
+    # step. Gradients agree with the XLA backward to float-reassociation
+    # level (~1e-6). Implies the fused forward; ignored if fused_unet=False.
+    fused_unet_bwd: bool = False
     # NON-DEFAULT fast mode for the fold-parallel trainer: forward/backward
     # matmul operands in bfloat16 (f32 master params + f32 Adam + f32
     # accumulations stay). Quality delta measured in PERF.md; the default

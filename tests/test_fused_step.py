@@ -128,6 +128,66 @@ def test_unet_fused_fwdonly_interpret(rng):
 
 
 @pytest.mark.slow
+def test_unet_fused_fwdbwd_interpret(rng):
+    """Hand-written residual-based backward kernel (interpret) matches
+    jax.grad of the pure rank-select function to reassociation level
+    (the adjoints are ideal transposed bf16x3 matmuls, not the vjp of the
+    bf16x3 cast chain — ~1e-4 relative on the worst tiny pool-bias grad)."""
+    import jax.numpy as jnp
+    from fcsr_tpu.models.fused_step import unet_fused_fwdbwd
+    model, params, _, _ = init_gsr(CFG, jax.random.PRNGKey(0))
+    net_params = params["params"]["net"]
+    ct_net = jnp.asarray(rng.normal(
+        size=(CFG.lr_dim, CFG.hr_dim)).astype(np.float32))
+    ct_start = jnp.asarray(rng.normal(
+        size=(CFG.lr_dim, CFG.hr_dim)).astype(np.float32))
+
+    def loss_fused(net_params):
+        net, start = unet_fused_fwdbwd(net_params, CFG.ks, CFG.lr_dim,
+                                       CFG.hr_dim, interpret=True)
+        return jnp.sum(net * ct_net) + jnp.sum(start * ct_start)
+
+    def loss_ref(net_params):
+        net, start = unet_forward_rankselect(net_params, CFG.ks,
+                                             CFG.lr_dim)
+        return jnp.sum(net * ct_net) + jnp.sum(start * ct_start)
+
+    l1, g1 = jax.value_and_grad(loss_fused)(net_params)
+    l0, g0 = jax.value_and_grad(loss_ref)(net_params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        scale = max(float(jnp.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_fused_bwd_trainer_matches_fwdonly(rng):
+    """Trainer trajectories with the hand-written backward kernel track
+    the fused-forward/XLA-backward path (4 epochs, small dims)."""
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    d = load_or_synthesize(None, n_train=6, n_test=1, seed=3)
+    lr = d["lr_train"][:, :20, :20].copy()
+    hr = d["hr_train"][:, :32, :32].copy()
+    folds = kfold_indices(6, 2, seed=42)
+    hists = []
+    for bwd in (False, True):
+        cfg = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                             ks=(0.9, 0.7), epochs=4, fused_tail=True,
+                             fused_unet=True, fused_unet_bwd=bwd)
+        r = GSRFoldRunner(cfg, lr, hr, folds)
+        _, lh, _ = r.train()
+        maes, _ = r.evaluate()
+        hists.append((np.asarray(lh), np.asarray(maes)))
+    np.testing.assert_allclose(hists[0][0], hists[1][0], atol=1e-4)
+    np.testing.assert_allclose(hists[0][1], hists[1][1], atol=1e-5)
+
+
+@pytest.mark.slow
 def test_fully_fused_trainer_matches_unfused(rng):
     """fast trainer with fused_tail+fused_unet (interpret on CPU) tracks
     the unfused trainer's loss history."""
