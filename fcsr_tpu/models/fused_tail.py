@@ -29,19 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fcsr_tpu.core.normalize import fill_diagonal, normalize_adj, symmetrize
 
-def _mm(a, b):
-    """Error-compensated bf16x3 matmul for use inside Mosaic kernels.
-
-    Mosaic supports only DEFAULT dot precision (single-pass bf16; HIGHEST
-    crashes the TPU compile service, HIGH is rejected), so the three-pass
-    decomposition a_hi@b_hi + a_hi@b_lo + a_lo@b_hi is built manually —
-    same accuracy class as XLA's f32 matmuls (~1e-6 relative)."""
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-    a_lo = a - a_hi
-    b_lo = b - b_hi
-    dot = lambda x, y: jnp.matmul(x, y, preferred_element_type=jnp.float32)
-    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+# error-compensated matmul for in-kernel use (see core/mosaic_mm.py for
+# why DEFAULT-precision Mosaic dots need manual compensation)
+from fcsr_tpu.core.mosaic_mm import mm as _mm
 
 __all__ = ["tail_loss_fused", "tail_loss_reference"]
 
