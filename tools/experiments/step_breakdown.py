@@ -75,10 +75,11 @@ def unet_of(flat):
                              cfg.hr_dim, interpret=interp)
 
 
-# 1. forward kernel only
+# 1. forward kernel only (carry must stay genuinely data-dependent or
+# XLA hoists the whole body out of the scan)
 def step_fwd(flat, i):
     net, start = unet_of(flat)
-    return flat + jnp.sum(net + start) * 1e-20
+    return flat * (1.0 + 1e-12 * jnp.tanh(net[0, 0] + start[0, 0]))
 
 
 run_scan("fwd", step_fwd)
@@ -92,10 +93,29 @@ def loss_unet(flat, i):
 
 def step_fwdbwd(flat, i):
     loss, g = jax.value_and_grad(loss_unet)(flat, i)
-    return flat - 1e-20 * g
+    return flat - 1e-12 * jnp.tanh(g)
 
 
 run_scan("fwd+bwd", step_fwdbwd)
+
+
+# 2b. tail kernel only (fwd+grad; custom_vjp residual trick)
+def loss_tail_only(flat, i):
+    params = unravel(flat)
+    w = params["params"]["layer"]["weights"]
+    w1 = params["params"]["gc1"]["weight"]
+    w2 = params["params"]["gc2"]["weight"]
+    net = w.T * 0.5  # (lr_dim, hr_dim) stand-in features from params
+    return tail_loss_fused(w, w1, w2, net, u_lr[i], u_hr[i], hr_all[i],
+                           interpret=interp)
+
+
+def step_tail_only(flat, i):
+    loss, g = jax.value_and_grad(loss_tail_only)(flat, i)
+    return flat - 1e-12 * jnp.tanh(g)
+
+
+run_scan("tail only", step_tail_only)
 
 
 # 3. + fused tail (full loss)
@@ -113,7 +133,7 @@ def loss_full(flat, i):
 
 def step_tail(flat, i):
     loss, g = jax.value_and_grad(loss_full)(flat, i)
-    return flat - 1e-20 * g
+    return flat - 1e-12 * jnp.tanh(g)
 
 
 run_scan("+tail", step_tail)
@@ -125,7 +145,7 @@ def step_full(flat, i):
     m = jnp.zeros_like(flat)
     v = jnp.zeros_like(flat)
     step, m, v = adam_flat_update(g, m, v, 1.0, cfg.lr)
-    return flat - step * 1e-20
+    return flat - step * 1e-12
 
 
 run_scan("full(adam)", step_full)
