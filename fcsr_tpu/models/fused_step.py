@@ -26,15 +26,23 @@ The kernel body computes ``jax.value_and_grad`` of the pure-jnp step and
 Mosaic compiles the joint jaxpr. Exactness vs the unfused model is
 verified in tests (same trajectory up to float reassociation).
 
-STATUS (v5e, 2026-08): the pure rank-select formulation is bit-exact vs
-the gather/top_k model under XLA (max grad diff 0.0, tested) and the
-kernels are exact in interpret mode; on hardware, however, the joint
-whole-step kernel and the U-Net backward kernel CRASH the TPU compile
-service (HTTP 500, no diagnostics — the U-Net forward alone and the tail
-kernel compile and run fine, so this is a compiler capacity issue with
-very large kernel jaxprs). The production fused path is therefore the
-tail kernel (models/fused_tail.py, cfg.fused_tail); this module stays as
-the validated formulation for when the toolchain catches up.
+STATUS (v5e, 2026-08, round 3): the pure rank-select formulation is
+bit-exact vs the gather/top_k model under XLA (max grad diff 0.0,
+tested). Compile-service status by kernel:
+
+* U-Net forward kernel and the hand-written residual-based U-Net
+  backward kernel (``unet_fused_fwdbwd``): compile and run — this is the
+  production path together with the tail kernel (3 kernels/step,
+  9.11 s steady bench).
+* Whole-step SINGLE kernel with hand-written adjoints
+  (``gsr_step_loss_fused``, cfg.fused_step): COMPILES and runs as of
+  round 3 (the hand-written backward keeps the jaxpr small enough) —
+  but measures ~4% SLOWER steady than the 3-kernel split (9.46 s vs
+  9.11 s; the step is in-kernel-MXU-bound, not launch-bound), so it
+  ships as a validated non-default variant.
+* The AD-generated joint kernel (``step_value_and_grad_fused``, which
+  rematerializes the U-Net inside the backward) still crashes the TPU
+  compile service (HTTP 500) — repro in tools/repro_fused_step.py.
 Also note: Mosaic dots only support DEFAULT precision (HIGHEST crashes
 the compile service, HIGH is rejected) — kernels use a manual
 error-compensated bf16x3 matmul (``_mm``) for f32-class accuracy.
@@ -58,7 +66,8 @@ from fcsr_tpu.models.gsr import pool_sizes
 from fcsr_tpu.core.mosaic_mm import mm as _mm
 
 __all__ = ["step_loss_pure", "step_value_and_grad_fused",
-           "unet_forward_rankselect", "unet_fused", "unet_fused_fwdbwd"]
+           "unet_forward_rankselect", "unet_fused", "unet_fused_fwdbwd",
+           "gsr_step_loss_fused"]
 
 
 def _topk_projection(scores, k: int):
@@ -327,6 +336,121 @@ def _lin_names(n_levels: int):
             + ["end_gcn"])
 
 
+def _unet_fwd_math(w, b, lr_dim: int, sizes, L: int):
+    """U-Net forward on VALUES (shared by the fwd kernel and the
+    whole-step kernel). ``w``/``b`` are name->array dicts (biases staged
+    (1, n)). Returns (net, x0, d, s, P, pooled, xu, xf) where the lists
+    are per-level residuals exactly as the backward consumes them."""
+    f32 = jnp.float32
+
+    def lin(name, x):
+        return _mm(x, w[name]) + b[name]
+
+    x = lin("start_gcn", jnp.eye(lr_dim, dtype=f32))
+    x0 = x
+    d = [None] * L
+    s = [None] * L
+    P = [None] * L
+    pooled = [None] * L
+    for i in range(L):
+        di = lin(f"down_gcns_{i}", x)
+        d[i] = di
+        n_i = di.shape[0]
+        # bias add via an explicit ones-matmul: its adjoint is a matmul,
+        # sidestepping Mosaic's unsupported tiny odd-size lane reductions
+        ones_col = jnp.ones((n_i, 1), dtype=f32)
+        logits = (_mm(di, w[f"pools_{i}"])
+                  + _mm(ones_col, b[f"pools_{i}"]))
+        si = jax.nn.sigmoid(logits[:, 0] / 100.0)
+        s[i] = si[:, None]
+        P[i] = _topk_projection(si, sizes[i])
+        ks_col = _mm(P[i], s[i])
+        x = _mm(P[i], di) * ks_col
+        pooled[i] = x
+
+    x = lin("bottom_gcn", x)
+    xu = [None] * L
+    for i in range(L):
+        up = L - i - 1
+        xu_v = _mm(P[up].T, x)
+        xu[up] = xu_v
+        x = lin(f"up_gcns_{i}", xu_v)
+        x = x + d[up]
+    xf = x
+    cat = jnp.concatenate([x, x0], axis=1)
+    net = lin("end_gcn", cat)
+    return net, x0, d, s, P, pooled, xu, xf
+
+
+def _unet_bwd_math(wa_end, wb_end, w_bot, w_down, w_up, w_pool,
+                   x0, d, s, P, pooled, xu, xf, ct_net, ct_start,
+                   L: int, hr_dim: int):
+    """Hand-written U-Net adjoints on VALUES against the forward's
+    residuals (shared by the bwd kernel and the whole-step kernel).
+    Returns the grads in _lin_names order: kernels (end split into
+    a/b halves) then biases."""
+    f32 = jnp.float32
+
+    def colsum(g):
+        return _mm(jnp.ones((1, g.shape[0]), dtype=f32), g)
+
+    # end_gcn: net = _mm(xf, Wa) + _mm(x0, Wb) + b_end
+    dwa_end = _mm(xf.T, ct_net)
+    dwb_end = _mm(x0.T, ct_net)
+    db_end = colsum(ct_net)
+    g_x = _mm(ct_net, wa_end.T)
+    g_org = _mm(ct_net, wb_end.T)
+
+    # up chain (reverse of forward's i = 0..L-1, up = L-1-i)
+    dw_up, db_up = [None] * L, [None] * L
+    g_skip = [None] * L
+    g = g_x
+    for i in reversed(range(L)):
+        up = L - i - 1
+        g_skip[up] = g
+        dw_up[i] = _mm(xu[up].T, g)
+        db_up[i] = colsum(g)
+        g_xu = _mm(g, w_up[i].T)
+        g = _mm(P[up], g_xu)
+
+    # bottom_gcn: b_out = lin(bottom, pooled_{L-1})
+    dw_bot = _mm(pooled[L - 1].T, g)
+    db_bot = colsum(g)
+    g_p = _mm(g, w_bot.T)
+
+    # down/pool chain backwards
+    dw_down, db_down = [None] * L, [None] * L
+    dw_pool, db_pool = [None] * L, [None] * L
+    for i in reversed(range(L)):
+        proj = P[i]
+        dd = d[i]
+        s_col = s[i]
+        pre = _mm(proj, dd)
+        ks_col = _mm(proj, s_col)
+        g_pre = g_p * ks_col
+        g_ks = _mm(g_p * pre, jnp.ones((hr_dim, 1), dtype=f32))
+        g_d = _mm(proj.T, g_pre)
+        g_s = _mm(proj.T, g_ks)
+        g_logits = g_s * s_col * (1.0 - s_col) * (1.0 / 100.0)
+        dw_pool[i] = _mm(dd.T, g_logits)
+        db_pool[i] = colsum(g_logits)
+        g_d = g_d + _mm(g_logits, w_pool[i].T) + g_skip[i]
+        x_in = x0 if i == 0 else pooled[i - 1]
+        dw_down[i] = _mm(x_in.T, g_d)
+        db_down[i] = colsum(g_d)
+        g_p = _mm(g_d, w_down[i].T)
+
+    # start_gcn: input is the identity, so dW = ct directly
+    g_x0 = g_p + g_org + ct_start
+    dw_start = g_x0
+    db_start = colsum(g_x0)
+
+    return ([dw_start] + dw_down + dw_pool + [dw_bot] + dw_up
+            + [dwa_end, dwb_end]
+            + [db_start] + db_down + db_pool + [db_bot] + db_up
+            + [db_end])
+
+
 @functools.lru_cache(maxsize=8)
 def _make_unet_fwdbwd(ks: tuple, lr_dim: int, hr_dim: int, interpret: bool):
     """Build the (fwd kernel with residual outputs, bwd kernel) pair for a
@@ -352,39 +476,17 @@ def _make_unet_fwdbwd(ks: tuple, lr_dim: int, hr_dim: int, interpret: bool):
         xu_refs = outs[2 + 4 * L:2 + 5 * L]
         xf_ref = outs[2 + 5 * L]
 
-        def lin(name, x):
-            return _mm(x, w[name]) + b[name]  # bias staged (1, n)
-
-        x = lin("start_gcn", jnp.eye(lr_dim, dtype=f32))
-        start_ref[:] = x
-        org_x = x
-        projs = []
+        net, x0, d, s, P, pooled, xu, xf = _unet_fwd_math(
+            w, b, lr_dim, sizes, L)
+        net_ref[:] = net
+        start_ref[:] = x0
         for i in range(L):
-            d = lin(f"down_gcns_{i}", x)
-            d_refs[i][:] = d
-            n_i = d.shape[0]
-            ones_col = jnp.ones((n_i, 1), dtype=f32)
-            logits = (_mm(d, w[f"pools_{i}"])
-                      + _mm(ones_col, b[f"pools_{i}"]))
-            s = jax.nn.sigmoid(logits[:, 0] / 100.0)
-            s_refs[i][:] = s[:, None]
-            proj = _topk_projection(s, sizes[i])
-            p_refs[i][:] = proj
-            projs.append(proj)
-            ks_col = _mm(proj, s[:, None])
-            x = _mm(proj, d) * ks_col
-            pool_refs[i][:] = x
-
-        x = lin("bottom_gcn", x)
-        for i in range(L):
-            up = L - i - 1
-            xu = _mm(projs[up].T, x)
-            xu_refs[up][:] = xu
-            x = lin(f"up_gcns_{i}", xu)
-            x = x + d_refs[up][:]
-        xf_ref[:] = x
-        cat = jnp.concatenate([x, org_x], axis=1)
-        net_ref[:] = lin("end_gcn", cat)
+            d_refs[i][:] = d[i]
+            s_refs[i][:] = s[i]
+            p_refs[i][:] = P[i]
+            pool_refs[i][:] = pooled[i]
+            xu_refs[i][:] = xu[i]
+        xf_ref[:] = xf
 
     fwd_out_shapes = (
         [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)] * 2          # net, x0
@@ -431,69 +533,14 @@ def _make_unet_fwdbwd(ks: tuple, lr_dim: int, hr_dim: int, interpret: bool):
         (ct_start_ref,) = take(1)
         outs = refs[k:]
 
-        ct_net = ct_net_ref[:]
-        x0 = x0_ref[:]
-        xf = xf_ref[:]
-
-        def colsum(g):
-            return _mm(jnp.ones((1, g.shape[0]), dtype=f32), g)
-
-        # end_gcn: net = _mm(xf, Wa) + _mm(x0, Wb) + b_end
-        dwa_end = _mm(xf.T, ct_net)
-        dwb_end = _mm(x0.T, ct_net)
-        db_end = colsum(ct_net)
-        g_x = _mm(ct_net, wa_end[:].T)
-        g_org = _mm(ct_net, wb_end[:].T)
-
-        # up chain (reverse of forward's i = 0..L-1, up = L-1-i)
-        dw_up, db_up = [None] * L, [None] * L
-        g_skip = [None] * L
-        g = g_x
-        for i in reversed(range(L)):
-            up = L - i - 1
-            xu = xu_refs[up][:]
-            g_skip[up] = g
-            dw_up[i] = _mm(xu.T, g)
-            db_up[i] = colsum(g)
-            g_xu = _mm(g, w_up[i][:].T)
-            g = _mm(p_refs[up][:], g_xu)
-
-        # bottom_gcn: b_out = lin(bottom, pooled_{L-1})
-        dw_bot = _mm(pool_refs[L - 1][:].T, g)
-        db_bot = colsum(g)
-        g_p = _mm(g, w_bot[:].T)
-
-        # down/pool chain backwards
-        dw_down, db_down = [None] * L, [None] * L
-        dw_pool, db_pool = [None] * L, [None] * L
-        for i in reversed(range(L)):
-            proj = p_refs[i][:]
-            d = d_refs[i][:]
-            s_col = s_refs[i][:]
-            pre = _mm(proj, d)
-            ks_col = _mm(proj, s_col)
-            g_pre = g_p * ks_col
-            g_ks = _mm(g_p * pre, jnp.ones((hr_dim, 1), dtype=f32))
-            g_d = _mm(proj.T, g_pre)
-            g_s = _mm(proj.T, g_ks)
-            g_logits = g_s * s_col * (1.0 - s_col) * (1.0 / 100.0)
-            dw_pool[i] = _mm(d.T, g_logits)
-            db_pool[i] = colsum(g_logits)
-            g_d = g_d + _mm(g_logits, w_pool[i][:].T) + g_skip[i]
-            x_in = x0 if i == 0 else pool_refs[i - 1][:]
-            dw_down[i] = _mm(x_in.T, g_d)
-            db_down[i] = colsum(g_d)
-            g_p = _mm(g_d, w_down[i][:].T)
-
-        # start_gcn: input is the identity, so dW = ct directly
-        g_x0 = g_p + g_org + ct_start_ref[:]
-        dw_start = g_x0
-        db_start = colsum(g_x0)
-
-        grads = ([dw_start] + dw_down + dw_pool + [dw_bot] + dw_up
-                 + [dwa_end, dwb_end]
-                 + [db_start] + db_down + db_pool + [db_bot] + db_up
-                 + [db_end])
+        grads = _unet_bwd_math(
+            wa_end[:], wb_end[:], w_bot[:],
+            [r[:] for r in w_down], [r[:] for r in w_up],
+            [r[:] for r in w_pool],
+            x0_ref[:], [r[:] for r in d_refs], [r[:] for r in s_refs],
+            [r[:] for r in p_refs], [r[:] for r in pool_refs],
+            [r[:] for r in xu_refs], xf_ref[:],
+            ct_net_ref[:], ct_start_ref[:], L, hr_dim)
         for ref, gval in zip(outs, grads):
             ref[:] = gval
 
@@ -585,6 +632,171 @@ def unet_fused_fwdbwd(net_params, ks: Sequence[float], lr_dim: int,
     section comment above). Returns (net_outs, start_gcn_outs)."""
     fn = _make_unet_fwdbwd(tuple(ks), lr_dim, hr_dim, bool(interpret))
     return fn(net_params)
+
+
+# ---------------------------------------------------------------------------
+# Whole-step SINGLE kernel: U-Net forward + fused tail (value+grad via
+# in-kernel AD) + hand-written U-Net adjoints, all in one Mosaic kernel.
+#
+# This is the hand-written-adjoint successor of step_value_and_grad_fused
+# (whose in-kernel jax.value_and_grad over the ENTIRE step rematerializes
+# the U-Net inside the backward and crashes the TPU compile service). Here
+# the backward is the residual-based _unet_bwd_math — the same code the
+# two-kernel path runs — so the joint jaxpr is fwd + tail-AD + bwd with no
+# rematerialization. One kernel launch per training step replaces three
+# (U-Net fwd, tail, U-Net bwd), and every residual stays in VMEM instead
+# of round-tripping HBM between kernels.
+#
+# Exposed as a custom_vjp scalar loss (same residual-trick as
+# fused_tail.tail_loss_fused): forward computes value AND all grads;
+# backward scales the stored grads by the upstream cotangent. The `recon`
+# aux output is treated as non-differentiable (the trainer only consumes
+# it as a metric via has_aux).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
+                          lmbda: float, interpret: bool):
+    sizes = pool_sizes(lr_dim, ks)
+    L = len(ks)
+    names = _lin_names(L)
+    n_mod = len(names)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    pre_sizes = (lr_dim,) + sizes[:-1]
+
+    def kernel(*refs):
+        k = 0
+
+        def take(n):
+            nonlocal k
+            out = refs[k:k + n]
+            k += n
+            return out
+
+        w_refs = take(n_mod)
+        (wa_ref,), (wb_ref,) = take(1), take(1)
+        b_refs = take(n_mod)
+        (wg_ref,), (w1_ref,), (w2_ref,) = take(1), take(1), take(1)
+        (ulr_ref,), (uhr_ref,), (hr_ref,) = take(1), take(1), take(1)
+        outs = refs[k:]
+
+        w = {n: w_refs[j][:] for j, n in enumerate(names)}
+        b = {n: b_refs[j][:] for j, n in enumerate(names)}
+        net, x0, d, s, P, pooled, xu, xf = _unet_fwd_math(
+            w, b, lr_dim, sizes, L)
+
+        (tail, recon), (g_wg, g_w1, g_w2, g_f) = jax.value_and_grad(
+            _tail_loss, argnums=(0, 1, 2, 3), has_aux=True)(
+            wg_ref[:], w1_ref[:], w2_ref[:], net, ulr_ref[:], uhr_ref[:],
+            hr_ref[:])
+
+        # lmbda * L1(net, start) term: value and exact sign adjoints
+        diff = net - x0
+        loss = lmbda * jnp.mean(jnp.abs(diff)) + tail
+        g_l1 = jnp.sign(diff) * (lmbda / diff.size)
+        ct_net = g_f + g_l1
+        ct_start = -g_l1
+
+        grads = _unet_bwd_math(
+            wa_ref[:], wb_ref[:], w["bottom_gcn"],
+            [w[f"down_gcns_{i}"] for i in range(L)],
+            [w[f"up_gcns_{i}"] for i in range(L)],
+            [w[f"pools_{i}"] for i in range(L)],
+            x0, d, s, P, pooled, xu, xf, ct_net, ct_start, L, hr_dim)
+
+        outs[0][0, 0] = loss
+        outs[1][0, 0] = recon
+        for ref, gval in zip(outs[2:], grads + [g_wg, g_w1, g_w2]):
+            ref[:] = gval
+
+    def out_shapes():
+        kernel_shapes = (
+            [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)]           # start
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # down
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, 1), f32)               # pool
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]         # bottom
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # up
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)] * 2)    # end a/b
+        bias_shapes = (
+            [jax.ShapeDtypeStruct((1, hr_dim), f32)]                # start
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
+               for _ in range(L)]                                    # down
+            + [jax.ShapeDtypeStruct((1, 1), f32) for _ in range(L)]  # pool
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)]              # bottom
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
+               for _ in range(L)]                                    # up
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)])             # end
+        tail_shapes = [
+            jax.ShapeDtypeStruct((hr_dim, lr_dim), f32),            # d w_gsr
+            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32),            # d w1
+            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]            # d w2
+        return tuple([jax.ShapeDtypeStruct((1, 1), f32)] * 2
+                     + kernel_shapes + bias_shapes + tail_shapes)
+
+    def pack(net_params):
+        ws = [net_params[n]["proj"]["kernel"] for n in names]
+        bs = [net_params[n]["proj"]["bias"][None, :] for n in names]
+        w_end = net_params["end_gcn"]["proj"]["kernel"]
+        return ws, [w_end[:hr_dim], w_end[hr_dim:]], bs
+
+    shapes = out_shapes()
+
+    def run(net_params, w_gsr, w1, w2, u_lr, u_hr, hr):
+        ws, (wa, wb), bs = pack(net_params)
+        n_in = 2 * n_mod + 2 + 6
+        outs = pl.pallas_call(
+            kernel, in_specs=[vmem] * n_in,
+            out_specs=tuple([smem, smem] + [vmem] * (len(shapes) - 2)),
+            out_shape=shapes,
+            interpret=interpret)(*ws, wa, wb, *bs, w_gsr, w1, w2,
+                                 u_lr, u_hr, hr)
+        loss, recon = outs[0][0, 0], outs[1][0, 0]
+        dws, rest = list(outs[2:2 + n_mod + 1]), list(outs[3 + n_mod:])
+        dbs, tail_grads = rest[:n_mod], rest[n_mod:]
+        dw_end = jnp.concatenate([dws[n_mod - 1], dws[n_mod]], axis=0)
+        dws = dws[:n_mod - 1] + [dw_end]
+        net_grads = {n: {"proj": {"kernel": dws[j], "bias": dbs[j][0]}}
+                     for j, n in enumerate(names)}
+        return loss, recon, net_grads, tail_grads
+
+    @jax.custom_vjp
+    def step(net_params, w_gsr, w1, w2, u_lr, u_hr, hr):
+        loss, recon, _, _ = run(net_params, w_gsr, w1, w2, u_lr, u_hr, hr)
+        return loss, recon
+
+    def fwd(net_params, w_gsr, w1, w2, u_lr, u_hr, hr):
+        loss, recon, net_grads, (g_wg, g_w1, g_w2) = run(
+            net_params, w_gsr, w1, w2, u_lr, u_hr, hr)
+        return (loss, recon), (net_grads, g_wg, g_w1, g_w2)
+
+    def bwd(saved, cts):
+        net_grads, g_wg, g_w1, g_w2 = saved
+        ct_loss, _ = cts  # recon aux is non-differentiable by contract
+        scale = lambda g: jax.tree_util.tree_map(lambda x: ct_loss * x, g)
+        return (scale(net_grads), ct_loss * g_wg, ct_loss * g_w1,
+                ct_loss * g_w2, None, None, None)
+
+    step.defvjp(fwd, bwd)
+    return step
+
+
+def gsr_step_loss_fused(net_params, w_gsr, w1, w2, u_lr, u_hr, hr,
+                        ks: Sequence[float], lr_dim: int, hr_dim: int,
+                        lmbda: float, interpret: bool = False):
+    """(loss, recon) for the FULL GSR training step — U-Net, spectral
+    tail, decoder and all three loss terms — computed (value and all
+    gradients) in ONE Mosaic kernel. Differentiable in (net_params,
+    w_gsr, w1, w2); u_lr/u_hr/hr are data. ``recon`` is a
+    non-differentiable metric aux."""
+    fn = _make_step_fused_full(tuple(ks), lr_dim, hr_dim, float(lmbda),
+                               bool(interpret))
+    return fn(net_params, w_gsr, w1, w2, u_lr, u_hr, hr)
 
 
 def step_value_and_grad_fused(params, u_lr, u_hr, hr,

@@ -69,7 +69,19 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
     template = model.init(jax.random.PRNGKey(0), dummy, u_lr=dummy)
     _, unravel = ravel_pytree(template)
 
-    if cfg.fused_tail:
+    if cfg.fused_step:
+        from fcsr_tpu.models.fused_step import gsr_step_loss_fused
+
+        def loss_fn(flat_params, a_norm_m, hr_m, u_lr, u_hr):
+            del a_norm_m  # the U-Net never consumes it (ref models/ops.py:50-61)
+            params = unravel(flat_params)
+            p = params["params"]
+            return gsr_step_loss_fused(
+                p["net"], p["layer"]["weights"], p["gc1"]["weight"],
+                p["gc2"]["weight"], u_lr, u_hr, hr_m, cfg.ks, cfg.lr_dim,
+                cfg.hr_dim, cfg.lmbda,
+                interpret=jax.default_backend() != "tpu")
+    elif cfg.fused_tail:
         from fcsr_tpu.models.fused_tail import tail_loss_fused
         from fcsr_tpu.models.gsr import GraphUnet
         from fcsr_tpu.train.losses import l1

@@ -53,6 +53,13 @@ class GSRTrainConfig:
     # step. Gradients agree with the XLA backward to float-reassociation
     # level (~1e-6). Implies the fused forward; ignored if fused_unet=False.
     fused_unet_bwd: bool = False
+    # the ENTIRE training step (U-Net fwd + spectral tail with in-kernel
+    # AD + hand-written U-Net adjoints) as ONE Mosaic kernel
+    # (models/fused_step.py::gsr_step_loss_fused): one launch per step
+    # instead of three, residuals stay in VMEM. Same math as the
+    # three-kernel path up to float reassociation. Takes precedence over
+    # fused_tail/fused_unet/fused_unet_bwd in the fold-parallel trainer.
+    fused_step: bool = False
     # NON-DEFAULT fast mode for the fold-parallel trainer: forward/backward
     # matmul operands in bfloat16 (f32 master params + f32 Adam + f32
     # accumulations stay). Quality delta measured in PERF.md; the default

@@ -188,6 +188,61 @@ def test_fused_bwd_trainer_matches_fwdonly(rng):
 
 
 @pytest.mark.slow
+def test_gsr_step_fused_full_interpret(rng):
+    """Whole-step SINGLE kernel (U-Net fwd + tail AD + hand-written U-Net
+    adjoints, models/fused_step.py::gsr_step_loss_fused) matches
+    step_loss_pure's value, aux and gradients in interpret mode."""
+    from fcsr_tpu.models.fused_step import gsr_step_loss_fused
+    model, params, a_norm, hr_m, u_lr, u_hr = _setup(rng)
+
+    (l0, e0), g0 = jax.value_and_grad(
+        lambda p: step_loss_pure(p, None, hr_m, u_lr, u_hr, CFG.ks,
+                                 CFG.lr_dim, CFG.lmbda),
+        has_aux=True)(params)
+
+    def loss_fused(p):
+        pp = p["params"]
+        return gsr_step_loss_fused(
+            pp["net"], pp["layer"]["weights"], pp["gc1"]["weight"],
+            pp["gc2"]["weight"], u_lr, u_hr, hr_m, CFG.ks, CFG.lr_dim,
+            CFG.hr_dim, CFG.lmbda, interpret=True)
+
+    (l1, e1), g1 = jax.value_and_grad(loss_fused, has_aux=True)(params)
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-5)
+    np.testing.assert_allclose(float(e1), float(e0), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        scale = max(float(jnp.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_fused_step_trainer_matches_three_kernel(rng):
+    """Trainer trajectories with cfg.fused_step (one kernel per step)
+    track the production three-kernel fused path (4 epochs, small dims)."""
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    d = load_or_synthesize(None, n_train=6, n_test=1, seed=3)
+    lr = d["lr_train"][:, :20, :20].copy()
+    hr = d["hr_train"][:, :32, :32].copy()
+    folds = kfold_indices(6, 2, seed=42)
+    hists = []
+    for kw in (dict(fused_tail=True, fused_unet=True, fused_unet_bwd=True),
+               dict(fused_step=True)):
+        cfg = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                             ks=(0.9, 0.7), epochs=4, **kw)
+        r = GSRFoldRunner(cfg, lr, hr, folds)
+        _, lh, _ = r.train()
+        maes, _ = r.evaluate()
+        hists.append((np.asarray(lh), np.asarray(maes)))
+    np.testing.assert_allclose(hists[0][0], hists[1][0], atol=1e-4)
+    np.testing.assert_allclose(hists[0][1], hists[1][1], atol=1e-5)
+
+
+@pytest.mark.slow
 def test_fully_fused_trainer_matches_unfused(rng):
     """fast trainer with fused_tail+fused_unet (interpret on CPU) tracks
     the unfused trainer's loss history."""
