@@ -28,6 +28,12 @@ operand instead of a differentiated cast chain.
 MODE selects the formulation for experiments (read at TRACE time —
 callers must rebuild/clear their kernel caches after changing it; the
 FCSR_MM_MODE env var sets the process-wide default).
+
+``mm_bf16`` (MODE="bf16") is the experimental fast mode: a single
+truncated-bf16 MXU pass — 3x less MXU work than the compensated modes,
+but bf16 operand rounding (NOT f32-class). Gradients use the same
+single-pass product via the ideal adjoints. Quality/perf tradeoff
+measured in PERF.md; the default stays compensated.
 """
 
 from __future__ import annotations
@@ -37,7 +43,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mm", "mm_bf16x3", "mm_bf16x3_concat", "MODE"]
+__all__ = ["mm", "mm_bf16", "mm_bf16x3", "mm_bf16x3_concat", "MODE"]
 
 MODE = os.environ.get("FCSR_MM_MODE", "bf16x3_concat")
 
@@ -71,9 +77,21 @@ def mm_bf16x3_concat(a, b):
     return jnp.matmul(a_cat, b_cat, preferred_element_type=jnp.float32)
 
 
+def mm_bf16(a, b):
+    """Single-pass truncated-bf16 product with f32 accumulation."""
+    a16 = a.astype(jnp.bfloat16)
+    b16 = b.astype(jnp.bfloat16)
+    if jax.default_backend() != "tpu":
+        a16 = a16.astype(jnp.float32)
+        b16 = b16.astype(jnp.float32)
+    return jnp.matmul(a16, b16, preferred_element_type=jnp.float32)
+
+
 def _impl(a, b):
     if MODE == "bf16x3_concat":
         return mm_bf16x3_concat(a, b)
+    if MODE == "bf16":
+        return mm_bf16(a, b)
     return mm_bf16x3(a, b)
 
 

@@ -58,12 +58,25 @@ class SuperResMLP(nn.Module):
 
 class SpectralResMLP(nn.Module):
     """v2 spectral-norm residual MLP on vectorized connectomes
-    (ref: training_template.ipynb cell-5 SuperResMLP)."""
+    (ref: training_template.ipynb cell-5 SuperResMLP).
+
+    ``output="vector"`` returns the raw (B, L_out) sigmoid vector instead
+    of scattering it into symmetric matrices; the param tree is identical
+    for both modes (the scatter has no params), so one set of variables
+    serves both. Input may be dense (B, n, n) adjacencies or
+    already-vectorized (B, L_in) rows. The TRAINING pipeline uses
+    vector-in/vector-out: XLA's compile time for the backward of the wide
+    (35778-dim) Dense fused with the triu gather/scatter is pathological
+    on TPU (~500 s, and large variants crash the compile service — see
+    PERF.md 'MLP family'), while the pure dense-chain backward compiles
+    in seconds. The matrix MSE is computed equivalently in vector space
+    (train/losses.py::make_triu_mse_criterion)."""
     num_nodes_input: int = 160
     num_nodes_output: int = 268
     num_hidden: int = (160 + 268) // 2
     n_layers: int = 0
     dropout: float = 0.1
+    output: str = "matrix"  # "matrix" | "vector"
 
     @nn.compact
     def __call__(self, adj_batch, train: bool = False):
@@ -73,7 +86,10 @@ class SpectralResMLP(nn.Module):
         rows_out, cols_out = triu_indices_rowmajor(n_out)
         b = adj_batch.shape[0]
 
-        x = adj_batch[:, rows_in, cols_in]  # (B, 12720)
+        if adj_batch.ndim == 2:
+            x = adj_batch                       # already vectorized
+        else:
+            x = adj_batch[:, rows_in, cols_in]  # (B, 12720)
 
         def sn_dense(features, name):
             # torch's spectral_norm(Linear) with xavier-uniform init
@@ -103,6 +119,8 @@ class SpectralResMLP(nn.Module):
 
         x = sn_dense(len(rows_out), "output_dense")(x, update_stats=train)
         x = nn.sigmoid(x)
+        if self.output == "vector":
+            return x
 
         out = jnp.zeros((b, n_out, n_out), dtype=x.dtype)
         out = out.at[:, rows_out, cols_out].set(x)

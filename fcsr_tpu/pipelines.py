@@ -40,6 +40,8 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
     from fcsr_tpu.data.datamodule import contiguous_window_folds
     from fcsr_tpu.models.mlp import SpectralResMLP, SuperResMLP
     from fcsr_tpu.train.generic_loop import mse_criterion, train_model
+    from fcsr_tpu.train.losses import (make_triu_mse_criterion,
+                                       pack_triu_targets)
 
     lr_all = np.asarray(data["lr_train"], dtype=np.float32)
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
@@ -54,21 +56,39 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
                             output_size=n_out * n_out,
                             hidden_dim=hidden or 10000,
                             n_layers=max(1, n_layers))
+        model_train = model
+        lr_train_in, hr_train_tgt = lr_all, hr_all
+        criterion = mse_criterion
     else:
         hidden = hidden or (n_in + n_out) // 2
         model = SpectralResMLP(num_nodes_input=n_in,
                                num_nodes_output=n_out,
                                num_hidden=hidden, n_layers=n_layers)
+        # TRAIN entirely in triu-vector space (identical loss up to float
+        # reassociation): the wide output layer's backward fused with the
+        # triu scatter is a pathological XLA-TPU compile (see PERF.md
+        # 'MLP family'); the pure dense-chain program compiles in seconds.
+        # Predictions/eval still use the matrix-output model — the param
+        # tree is identical (the scatter has no params).
+        model_train = SpectralResMLP(num_nodes_input=n_in,
+                                     num_nodes_output=n_out,
+                                     num_hidden=hidden, n_layers=n_layers,
+                                     output="vector")
+        from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+        r_in, c_in = triu_indices_rowmajor(n_in)
+        lr_train_in = lr_all[:, r_in, c_in]          # (N, L_in)
+        hr_train_tgt = pack_triu_targets(hr_all)     # (N, L_out + n)
+        criterion = make_triu_mse_criterion(n_out)
     for j, (tr, va) in enumerate(folds):
         variables = model.init(
             {"params": jax.random.PRNGKey(seed + j),
              "dropout": jax.random.PRNGKey(seed + 100 + j)},
             np.zeros((2, n_in, n_in), dtype=np.float32))
         tr_h, va_h, lr_h, variables = train_model(
-            model, variables, lr_all[tr], hr_all[tr], lr_all[va],
-            hr_all[va], num_epochs=num_epochs, lr=lr,
-            batch_size=batch_size, criterion=mse_criterion, seed=seed + j,
-            verbose=verbose)
+            model_train, variables, lr_train_in[tr], hr_train_tgt[tr],
+            lr_train_in[va], hr_train_tgt[va], num_epochs=num_epochs,
+            lr=lr, batch_size=batch_size, criterion=criterion,
+            seed=seed + j, verbose=verbose)
         fold_losses.append((tr_h, va_h, lr_h))
         import jax.numpy as jnp
         preds = np.asarray(model.apply(variables, jnp.asarray(lr_all[va]),

@@ -70,6 +70,12 @@ def mse_criterion(pred, target):
 
 
 def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
+    """Step programs. The dataset stays DEVICE-RESIDENT (shipped once,
+    flat-staged — see utils/transfer.py for why >2-D transfers must not
+    cross the tunnel per batch); per-epoch sample selection is an integer
+    gather inside the compiled programs, so only the small 2-D index
+    plans ship each epoch."""
+
     def train_step_body(variables, opt_state, lr_b, hr_b, dropout_key):
         params = variables["params"]
         aux_cols = {k: v for k, v in variables.items() if k != "params"}
@@ -87,24 +93,27 @@ def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
         params = optax.apply_updates(params, updates)
         return {"params": params, **new_aux}, opt_state, loss
 
-    train_step = jax.jit(train_step_body)
+    @jax.jit
+    def train_step(variables, opt_state, lr_all, hr_all, idx, dropout_key):
+        return train_step_body(variables, opt_state, lr_all[idx],
+                               hr_all[idx], dropout_key)
 
     @jax.jit
-    def train_epoch_full(variables, opt_state, lr_bs, hr_bs, dropout_key):
+    def train_epoch_full(variables, opt_state, lr_all, hr_all, idxs,
+                         dropout_key):
         """All FULL batches of one epoch as a single lax.scan — one
         dispatch instead of one per batch. The ragged remainder batch (if
         any) goes through ``train_step`` separately so BatchNorm sees the
         exact per-batch statistics the reference's loader produces."""
-        def step(carry, batch):
+        def step(carry, idx):
             variables, opt_state, key = carry
-            lr_b, hr_b = batch
             key, sub = jax.random.split(key)
             variables, opt_state, loss = train_step_body(
-                variables, opt_state, lr_b, hr_b, sub)
+                variables, opt_state, lr_all[idx], hr_all[idx], sub)
             return (variables, opt_state, key), loss
 
         (variables, opt_state, _), losses = jax.lax.scan(
-            step, (variables, opt_state, dropout_key), (lr_bs, hr_bs))
+            step, (variables, opt_state, dropout_key), idxs)
         return variables, opt_state, losses
 
     @jax.jit
@@ -128,10 +137,15 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
     (train_hist, val_hist, lr_hist, best_variables) with the model's best
     validation state restored, mirroring the reference's return contract
     (ref: utils/training.py:151-155)."""
-    lr_train = np.asarray(lr_train, dtype=np.float32)
-    hr_train = np.asarray(hr_train, dtype=np.float32)
-    lr_val = jnp.asarray(lr_val, dtype=jnp.float32)
-    hr_val = jnp.asarray(hr_val, dtype=jnp.float32)
+    from fcsr_tpu.utils.transfer import device_put_fast
+
+    # ship the full (n, N, N) stacks ONCE, flat-staged; batches are
+    # gathered on device (>2-D per-epoch transfers stall/crash the
+    # tunnelled TPU runtime — utils/transfer.py)
+    lr_train_d = device_put_fast(np.asarray(lr_train, dtype=np.float32))
+    hr_train_d = device_put_fast(np.asarray(hr_train, dtype=np.float32))
+    lr_val = device_put_fast(np.asarray(lr_val, dtype=np.float32))
+    hr_val = device_put_fast(np.asarray(hr_val, dtype=np.float32))
 
     mutable_cols = tuple(k for k in variables if k != "params")
 
@@ -153,7 +167,7 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
     train_step, train_epoch_full, eval_step = _make_step_fns(
         model, tx, criterion, mutable_cols)
 
-    n = len(lr_train)
+    n = len(np.asarray(lr_train))
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -170,15 +184,15 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
             idx = order[:n_full * batch_size].reshape(n_full, batch_size)
             key, sub = jax.random.split(key)
             variables, opt_state, losses = train_epoch_full(
-                variables, opt_state, jnp.asarray(lr_train[idx]),
-                jnp.asarray(hr_train[idx]), sub)
+                variables, opt_state, lr_train_d, hr_train_d,
+                jnp.asarray(idx.astype(np.int32)), sub)
             epoch_losses.extend(np.asarray(losses).tolist())
         if n % batch_size:
             idx = order[n_full * batch_size:]
             key, sub = jax.random.split(key)
             variables, opt_state, loss = train_step(
-                variables, opt_state, jnp.asarray(lr_train[idx]),
-                jnp.asarray(hr_train[idx]), sub)
+                variables, opt_state, lr_train_d, hr_train_d,
+                jnp.asarray(idx.astype(np.int32)), sub)
             epoch_losses.append(float(loss))
         train_hist.append(float(np.mean(epoch_losses)))
 

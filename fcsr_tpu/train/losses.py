@@ -5,7 +5,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["l1", "gsr_composite_loss", "offdiag_mse_loss",
-           "intermediate_recon_loss"]
+           "intermediate_recon_loss", "make_triu_mse_criterion",
+           "pack_triu_targets"]
 
 
 def l1(a, b):
@@ -28,6 +29,62 @@ def gsr_composite_loss(pred, net_outs, start_gcn_outs, gsr_weights,
             + l1(gsr_weights, u_hr_reduced)
             + recon)
     return loss, recon
+
+
+def make_triu_mse_criterion(n_out: int):
+    """Criterion computing the dense-matrix MSE of a symmetric-from-triu
+    prediction ENTIRELY in vector space.
+
+    For a prediction that would be scattered as ``M = sym(scatter(v))``
+    (zero diagonal) and a symmetric target ``T``:
+
+        mean((M - T)^2) over n^2 elements
+          = (2 * sum((v - triu(T))^2) + sum(diag(T)^2)) / (B * n^2)
+
+    — each off-diagonal pair appears twice, the diagonal prediction is 0.
+    Used by the MLP training path so the 35778-wide backward never fuses
+    with the triu scatter (a pathological XLA-TPU compile, see
+    SpectralResMLP docstring); identical to matrix-space
+    ``mse_criterion`` up to float reassociation (tested).
+
+    The returned criterion accepts ``pred`` as the (B, L) triu vector and
+    ``target`` either as dense (B, n, n) matrices or — preferred for the
+    train path, so not even a target gather sits next to the wide
+    backward matmuls — as pre-packed (B, L + n) rows
+    ``[triu(T), diag(T)]`` (see ``pack_triu_targets``).
+    """
+    import numpy as np
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    rows, cols = triu_indices_rowmajor(n_out)
+    didx = np.arange(n_out)
+    m = len(rows)
+
+    def criterion(pred_vec, target):
+        b = target.shape[0]
+        if target.ndim == 2:  # packed [triu, diag]
+            t_vec, t_diag = target[:, :m], target[:, m:]
+        else:
+            t_vec = target[:, rows, cols]
+            t_diag = target[:, didx, didx]
+        sq = jnp.sum((pred_vec - t_vec) ** 2)
+        return (2.0 * sq + jnp.sum(t_diag ** 2)) / (b * n_out * n_out)
+
+    return criterion
+
+
+def pack_triu_targets(hr_mats):
+    """(N, n, n) symmetric targets -> (N, L + n) packed
+    ``[row-major triu, diagonal]`` rows for ``make_triu_mse_criterion``."""
+    import numpy as np
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    hr_mats = np.asarray(hr_mats)
+    n = hr_mats.shape[-1]
+    rows, cols = triu_indices_rowmajor(n)
+    didx = np.arange(n)
+    return np.concatenate([hr_mats[:, rows, cols],
+                           hr_mats[:, didx, didx]], axis=1)
 
 
 def _zero_diag(m):

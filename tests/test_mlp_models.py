@@ -108,3 +108,49 @@ def test_train_model_end_to_end(rng):
     assert len(tr_hist) == 8 and len(va_hist) == 8
     assert tr_hist[-1] < tr_hist[0]
     assert "params" in best
+
+
+def test_vector_output_matches_matrix(rng):
+    """output='vector' returns exactly the triu vector the matrix mode
+    scatters; param trees are interchangeable; vectorized 2-D input gives
+    the same result as dense input."""
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    n_in, n_out = 10, 14
+    model_m = SpectralResMLP(num_nodes_input=n_in, num_nodes_output=n_out,
+                             num_hidden=16, n_layers=1)
+    model_v = SpectralResMLP(num_nodes_input=n_in, num_nodes_output=n_out,
+                             num_hidden=16, n_layers=1, output="vector")
+    x = jnp.asarray(_batch(rng, 3, n_in))
+    variables = model_m.init({"params": jax.random.PRNGKey(0),
+                              "dropout": jax.random.PRNGKey(1)}, x)
+    mat = model_m.apply(variables, x, train=False)
+    vec = model_v.apply(variables, x, train=False)
+    rows, cols = triu_indices_rowmajor(n_out)
+    np.testing.assert_array_equal(np.asarray(mat)[:, rows, cols],
+                                  np.asarray(vec))
+    r_in, c_in = triu_indices_rowmajor(n_in)
+    vec2 = model_v.apply(variables, x[:, r_in, c_in], train=False)
+    np.testing.assert_array_equal(np.asarray(vec), np.asarray(vec2))
+
+
+def test_triu_mse_criterion_matches_matrix_mse(rng):
+    """Vector-space criterion == matrix-space MSE of the scattered
+    symmetric prediction, for dense and packed targets."""
+    from fcsr_tpu.train.losses import (make_triu_mse_criterion,
+                                       pack_triu_targets)
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    n = 14
+    b = 3
+    rows, cols = triu_indices_rowmajor(n)
+    vec = jnp.asarray(rng.random((b, len(rows))).astype(np.float32))
+    target = jnp.asarray(_batch(rng, b, n))
+    out = jnp.zeros((b, n, n), dtype=vec.dtype)
+    out = out.at[:, rows, cols].set(vec)
+    out = out + jnp.swapaxes(out, 1, 2)
+    want = float(mse_criterion(out, target))
+    crit = make_triu_mse_criterion(n)
+    got_dense = float(crit(vec, target))
+    got_packed = float(crit(vec, jnp.asarray(pack_triu_targets(
+        np.asarray(target)))))
+    np.testing.assert_allclose(got_dense, want, rtol=1e-6)
+    np.testing.assert_allclose(got_packed, want, rtol=1e-6)
