@@ -94,3 +94,43 @@ def test_optax_inject_hyperparams_replace_contract():
     g = np.ones(3, np.float32)
     upd, _ = tx.update(g, s, p)
     np.testing.assert_allclose(np.asarray(upd), -0.25 * g, atol=1e-7)
+
+
+def test_mosaic_mm_modes():
+    """All FCSR_MM_MODE formulations agree with the f32 product at their
+    documented accuracy class, and the custom_vjp adjoints are the ideal
+    transposed products in the SAME mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fcsr_tpu.core import mosaic_mm as M
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(24, 40)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(40, 16)).astype(np.float32))
+    want = np.asarray(a) @ np.asarray(b)
+
+    # compensated modes: O(eps_bf16^2) ~ 1e-4 relative class
+    for fn in (M.mm_bf16x3, M.mm_bf16x3_concat):
+        np.testing.assert_allclose(np.asarray(fn(a, b)), want,
+                                   rtol=5e-4, atol=5e-4)
+    # single-pass bf16: operand-rounding class (~1e-2 relative)
+    np.testing.assert_allclose(np.asarray(M.mm_bf16(a, b)), want,
+                               rtol=0.05, atol=0.15)
+
+    old = M.MODE
+    try:
+        for mode in ("bf16x3_concat", "bf16x3", "bf16"):
+            M.MODE = mode
+            val, vjp = jax.vjp(M.mm, a, b)
+            ct = jnp.ones_like(val)
+            da, db = vjp(ct)
+            np.testing.assert_allclose(np.asarray(val),
+                                       np.asarray(M._impl(a, b)))
+            np.testing.assert_allclose(np.asarray(da),
+                                       np.asarray(M._impl(ct, b.T)))
+            np.testing.assert_allclose(np.asarray(db),
+                                       np.asarray(M._impl(a.T, ct)))
+    finally:
+        M.MODE = old
