@@ -133,13 +133,14 @@ def main():
     is_synthetic = not os.path.exists(os.path.join(data_dir, "lr_train.csv"))
     data = load_or_synthesize(data_dir, n_train=167, n_test=112, seed=42)
 
-    # reference config (200 epochs, lr 1e-4) with the fused Pallas tail,
-    # fused U-Net forward AND the hand-written fused U-Net backward
-    # (identical math to the unfused path up to float reassociation — see
-    # models/fused_tail.py / models/fused_step.py and the
-    # trajectory-equivalence tests)
-    cfg = GSRTrainConfig(fused_tail=True, fused_unet=True,
-                         fused_unet_bwd=True)
+    # reference config (200 epochs, lr 1e-4) with the WHOLE training step
+    # as one Mosaic kernel (U-Net fwd + spectral tail value+grad +
+    # hand-written U-Net adjoints — models/fused_step.py, trajectory-
+    # equivalence tested). Under the bench's single-pass bf16 matmul mode
+    # the single kernel edges out the 3-kernel split (7.30 s vs 7.39 s);
+    # under the f32-class compensated mode the split wins (9.11 s vs
+    # 9.46 s) — see PERF.md.
+    cfg = GSRTrainConfig(fused_step=True)
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)

@@ -36,10 +36,11 @@ tested). Compile-service status by kernel:
   9.11 s steady bench).
 * Whole-step SINGLE kernel with hand-written adjoints
   (``gsr_step_loss_fused``, cfg.fused_step): COMPILES and runs as of
-  round 3 (the hand-written backward keeps the jaxpr small enough) —
-  but measures ~4% SLOWER steady than the 3-kernel split (9.46 s vs
-  9.11 s; the step is in-kernel-MXU-bound, not launch-bound), so it
-  ships as a validated non-default variant.
+  round 3 (the hand-written backward keeps the jaxpr small enough).
+  Under the f32-class compensated matmuls it is ~4% slower than the
+  3-kernel split (9.46 s vs 9.11 s steady — in-kernel-MXU-bound, not
+  launch-bound); under FCSR_MM_MODE=bf16 the MXU share shrinks and the
+  merge wins (7.30 s vs 7.39 s) — the bench runs fused_step+bf16.
 * The AD-generated joint kernel (``step_value_and_grad_fused``, which
   rematerializes the U-Net inside the backward) still crashes the TPU
   compile service (HTTP 500) — repro in tools/repro_fused_step.py.
