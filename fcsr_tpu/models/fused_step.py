@@ -68,7 +68,7 @@ from fcsr_tpu.core.mosaic_mm import mm as _mm
 
 __all__ = ["step_loss_pure", "step_value_and_grad_fused",
            "unet_forward_rankselect", "unet_fused", "unet_fused_fwdbwd",
-           "gsr_step_loss_fused"]
+           "gsr_step_loss_fused", "train_step_fused"]
 
 
 def _topk_projection(scores, k: int):
@@ -798,6 +798,184 @@ def gsr_step_loss_fused(net_params, w_gsr, w1, w2, u_lr, u_hr, hr,
     fn = _make_step_fused_full(tuple(ks), lr_dim, hr_dim, float(lmbda),
                                bool(interpret))
     return fn(net_params, w_gsr, w1, w2, u_lr, u_hr, hr)
+
+
+# ---------------------------------------------------------------------------
+# Whole TRAINING STEP kernel: forward + backward + Adam update in ONE
+# Mosaic kernel.
+#
+# With the whole-step kernel (above) the remaining per-step HBM traffic is
+# the flat-Adam marshalling: unravel slices feeding the kernel (~24 MB/step
+# over 3 folds), the grad-leaf concat back into the flat vector (~24 MB)
+# and the separate Adam elementwise pass (~84 MB). Doing the Adam update
+# per leaf INSIDE the kernel is elementwise-identical math (Adam is
+# pointwise, so adam(concat(leaves)) == concat(adam(leaf)) exactly) and
+# cuts the traffic to one read + one write of (p, m, v): the kernel takes
+# the parameter/moment leaves and emits the UPDATED leaves, plus the step
+# loss/recon scalars. Masked no-op steps (fold padding) are handled
+# in-kernel via the ok flag. The trainer carries the state as leaf trees
+# between steps and converts flat <-> tree only at chunk boundaries.
+#
+# STATUS (v5e, 2026-08): bit-exact vs the fused_step path in interpret
+# mode and on CPU (tested), but the TPU compile FAILS at full dims —
+# the kernel's I/O working set (p + m + v, in and out, ~64 MB over
+# 3 vmapped folds) exceeds the 16 MB scoped-VMEM stack limit:
+#   "Ran out of memory in memory space vmem ... Scoped allocation with
+#    size 63.58M and limit 16.00M".
+# Splitting Adam into its own kernel does not help (same p/m/v
+# round-trip). Kept as a validated formulation for hardware with a
+# larger VMEM budget; cfg.fused_adam documents the limitation.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _make_train_step_kernel(ks: tuple, lr_dim: int, hr_dim: int,
+                            lmbda: float, lr: float, b1: float, b2: float,
+                            eps: float, interpret: bool):
+    sizes = pool_sizes(lr_dim, ks)
+    L = len(ks)
+    names = _lin_names(L)
+    n_mod = len(names)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    # leaf order: 16 weight mats (end pre-split) + 15 biases + tail 3
+    n_leaves = (n_mod + 1) + n_mod + 3
+
+    def kernel(*refs):
+        k = 0
+
+        def take(n):
+            nonlocal k
+            out = refs[k:k + n]
+            k += n
+            return out
+
+        p_refs = take(n_leaves)
+        m_refs = take(n_leaves)
+        v_refs = take(n_leaves)
+        (ulr_ref,), (uhr_ref,), (hr_ref,) = take(1), take(1), take(1)
+        (sc_ref,) = take(1)  # SMEM scalars (1, 3): [okf, d1, d2]
+        outs = refs[k:]
+
+        w_refs = p_refs[:n_mod]
+        wa_ref, wb_ref = p_refs[n_mod - 1], p_refs[n_mod]
+        b_refs = p_refs[n_mod + 1:2 * n_mod + 1]
+        wg_ref, w1_ref, w2_ref = p_refs[2 * n_mod + 1:]
+
+        # forward (full end weight = concat of the split halves, exactly
+        # the math of the two-kernel path's single _mm over the concat)
+        w = {n: w_refs[j][:] for j, n in enumerate(names[:-1])}
+        w["end_gcn"] = jnp.concatenate([wa_ref[:], wb_ref[:]], axis=0)
+        b = {n: b_refs[j][:] for j, n in enumerate(names)}
+        net, x0, d, s, P, pooled, xu, xf = _unet_fwd_math(
+            w, b, lr_dim, sizes, L)
+
+        (tail, recon), (g_wg, g_w1, g_w2, g_f) = jax.value_and_grad(
+            _tail_loss, argnums=(0, 1, 2, 3), has_aux=True)(
+            wg_ref[:], w1_ref[:], w2_ref[:], net, ulr_ref[:], uhr_ref[:],
+            hr_ref[:])
+
+        diff = net - x0
+        loss = lmbda * jnp.mean(jnp.abs(diff)) + tail
+        g_l1 = jnp.sign(diff) * (lmbda / diff.size)
+        ct_net = g_f + g_l1
+        ct_start = -g_l1
+
+        grads = _unet_bwd_math(
+            wa_ref[:], wb_ref[:], w["bottom_gcn"],
+            [w[f"down_gcns_{i}"] for i in range(L)],
+            [w[f"up_gcns_{i}"] for i in range(L)],
+            [w[f"pools_{i}"] for i in range(L)],
+            x0, d, s, P, pooled, xu, xf, ct_net, ct_start, L, hr_dim)
+        # grads order: 16 weight mats + 15 biases (from _unet_bwd_math),
+        # then the tail grads — matches the p_refs leaf order
+        grads = grads + [g_wg, g_w1, g_w2]
+
+        okf = sc_ref[0, 0]
+        d1 = sc_ref[0, 1]
+        d2 = sc_ref[0, 2]
+        outs[0][0, 0] = loss * okf
+        outs[1][0, 0] = recon * okf
+        p_outs = outs[2:2 + n_leaves]
+        m_outs = outs[2 + n_leaves:2 + 2 * n_leaves]
+        v_outs = outs[2 + 2 * n_leaves:]
+        for j in range(n_leaves):
+            # bias leaves are staged (1, n); grads for them come back
+            # (1, n) from colsum — shapes already agree
+            g = grads[j]
+            p_v = p_refs[j][:]
+            m_v = m_refs[j][:]
+            v_v = v_refs[j][:]
+            m_new = b1 * m_v + (1.0 - b1) * g
+            v_new = b2 * v_v + (1.0 - b2) * (g * g)
+            mhat = m_new / d1
+            vhat = v_new / d2
+            step = lr * mhat / (jnp.sqrt(vhat) + eps)
+            p_outs[j][:] = p_v - okf * step
+            m_outs[j][:] = jnp.where(okf > 0, m_new, m_v)
+            v_outs[j][:] = jnp.where(okf > 0, v_new, v_v)
+
+    def leaf_shapes():
+        kernel_shapes = (
+            [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)]           # start
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # down
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, 1), f32)               # pool
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]         # bottom
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # up
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)] * 2)    # end a/b
+        bias_shapes = (
+            [jax.ShapeDtypeStruct((1, hr_dim), f32)]
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32) for _ in range(L)]
+            + [jax.ShapeDtypeStruct((1, 1), f32) for _ in range(L)]
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)]
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32) for _ in range(L)]
+            + [jax.ShapeDtypeStruct((1, hr_dim), f32)])
+        tail_shapes = [
+            jax.ShapeDtypeStruct((hr_dim, lr_dim), f32),
+            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32),
+            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]
+        return kernel_shapes + bias_shapes + tail_shapes
+
+    shapes = leaf_shapes()
+    out_shapes = tuple([jax.ShapeDtypeStruct((1, 1), f32)] * 2
+                       + shapes * 3)
+
+    def run(p_leaves, m_leaves, v_leaves, u_lr, u_hr, hr, scalars):
+        """scalars: (1, 3) f32 [[okf, d1, d2]]. Leaves in kernel order
+        (16 weight mats with end split, 15 staged biases, tail 3).
+        Returns (loss, recon, p', m', v') with leaves in the same order."""
+        outs = pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * (3 * n_leaves + 3) + [smem],
+            out_specs=tuple([smem, smem] + [vmem] * (3 * n_leaves)),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*p_leaves, *m_leaves, *v_leaves, u_lr, u_hr, hr, scalars)
+        loss, recon = outs[0][0, 0], outs[1][0, 0]
+        p_new = list(outs[2:2 + n_leaves])
+        m_new = list(outs[2 + n_leaves:2 + 2 * n_leaves])
+        v_new = list(outs[2 + 2 * n_leaves:])
+        return loss, recon, p_new, m_new, v_new
+
+    return run
+
+
+def train_step_fused(p_leaves, m_leaves, v_leaves, u_lr, u_hr, hr,
+                     scalars, ks: Sequence[float], lr_dim: int,
+                     hr_dim: int, lmbda: float, lr: float,
+                     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                     interpret: bool = False):
+    """One full GSR training step — forward, backward AND the (masked)
+    Adam update — as ONE Mosaic kernel. See the section comment above.
+    ``scalars`` = f32 (3,) [ok_flag, 1-b1^t, 1-b2^t]."""
+    fn = _make_train_step_kernel(tuple(ks), lr_dim, hr_dim, float(lmbda),
+                                 float(lr), float(b1), float(b2),
+                                 float(eps), bool(interpret))
+    return fn(p_leaves, m_leaves, v_leaves, u_lr, u_hr, hr, scalars)
 
 
 def step_value_and_grad_fused(params, u_lr, u_hr, hr,

@@ -141,8 +141,89 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_all(state_f, a_norm_all, hr_all, u_lr_all, u_hr_all,
-                  idxs_f, valid_f):
+    if cfg.fused_adam:
+        # whole training step (fwd + bwd + masked Adam) as ONE kernel:
+        # the state stays FLAT between chunks (same runner/checkpoint/
+        # eval layout) and is converted to kernel-leaf lists once per
+        # chunk launch; Adam is elementwise, so per-leaf in-kernel
+        # updates are math-identical to the flat update.
+        from fcsr_tpu.models.fused_step import _lin_names, train_step_fused
+        names = _lin_names(len(cfg.ks))
+        n_mod = len(names)
+        b1, b2 = 0.9, 0.999
+
+        def tree_to_leaves(params):
+            p = params["params"]
+            net = p["net"]
+            ws = [net[n]["proj"]["kernel"] for n in names[:-1]]
+            w_end = net["end_gcn"]["proj"]["kernel"]
+            ws = ws + [w_end[:cfg.hr_dim], w_end[cfg.hr_dim:]]
+            bs = [net[n]["proj"]["bias"][None, :] for n in names]
+            return ws + bs + [p["layer"]["weights"], p["gc1"]["weight"],
+                              p["gc2"]["weight"]]
+
+        def leaves_to_tree(kl):
+            ws, bs = kl[:n_mod + 1], kl[n_mod + 1:2 * n_mod + 1]
+            wg, w1, w2 = kl[2 * n_mod + 1:]
+            net = {}
+            for j, n in enumerate(names[:-1]):
+                net[n] = {"proj": {"kernel": ws[j], "bias": bs[j][0]}}
+            net["end_gcn"] = {"proj": {
+                "kernel": jnp.concatenate([ws[n_mod - 1], ws[n_mod]],
+                                          axis=0),
+                "bias": bs[n_mod - 1][0]}}
+            return {"params": {"net": net, "layer": {"weights": wg},
+                               "gc1": {"weight": w1},
+                               "gc2": {"weight": w2}}}
+
+        def train_all(state_f, a_norm_all, hr_all, u_lr_all, u_hr_all,
+                      idxs_f, valid_f):
+            interp = jax.default_backend() != "tpu"
+
+            def fold_train(state, idx, valid):
+                flat_p, flat_m, flat_v, t0 = state
+                p_l = tree_to_leaves(unravel(flat_p))
+                m_l = tree_to_leaves(unravel(flat_m))
+                v_l = tree_to_leaves(unravel(flat_v))
+
+                def sample_step(carry, batch):
+                    p_l, m_l, v_l, t = carry
+                    i, ok = batch
+                    okf = ok.astype(jnp.float32)
+                    t_new = t + okf
+                    t_eff = jnp.maximum(t_new, 1.0)
+                    scal = jnp.stack(
+                        [okf, 1.0 - b1 ** t_eff,
+                         1.0 - b2 ** t_eff]).reshape(1, 3)
+                    loss, err, p_l, m_l, v_l = train_step_fused(
+                        p_l, m_l, v_l, u_lr_all[i], u_hr_all[i],
+                        hr_all[i], scal, cfg.ks, cfg.lr_dim, cfg.hr_dim,
+                        cfg.lmbda, cfg.lr, interpret=interp)
+                    return (p_l, m_l, v_l, t_new), (loss, err)
+
+                def epoch(carry, _):
+                    carry, (losses, errs) = jax.lax.scan(
+                        sample_step, carry, (idx, valid), unroll=4)
+                    denom = jnp.maximum(valid.sum(), 1.0)
+                    return carry, (jnp.sum(losses) / denom,
+                                   jnp.sum(errs) / denom)
+
+                carry = (p_l, m_l, v_l, t0)
+                carry, (loss_hist, err_hist) = jax.lax.scan(
+                    epoch, carry, None, length=n_epochs)
+                p_l, m_l, v_l, t = carry
+                state = (ravel_pytree(leaves_to_tree(p_l))[0],
+                         ravel_pytree(leaves_to_tree(m_l))[0],
+                         ravel_pytree(leaves_to_tree(v_l))[0], t)
+                return state, loss_hist, err_hist
+
+            return jax.vmap(fold_train, in_axes=(0, 0, 0))(
+                state_f, idxs_f, valid_f)
+    else:
+        train_all = None
+
+    def _train_all_default(state_f, a_norm_all, hr_all, u_lr_all,
+                           u_hr_all, idxs_f, valid_f):
         def fold_train(state, idx, valid):
             def sample_step(carry, batch):
                 p, m, v, t = carry
@@ -172,6 +253,9 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
 
         return jax.vmap(fold_train, in_axes=(0, 0, 0))(
             state_f, idxs_f, valid_f)
+
+    if train_all is None:
+        train_all = _train_all_default
 
     def eval_all(flat_params_f, a_norm_all, hr_all, u_lr_all, idxs_f,
                  valid_f):

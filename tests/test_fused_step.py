@@ -262,3 +262,30 @@ def test_fully_fused_trainer_matches_unfused(rng):
                            fused_unet=True)
     _, lh1, _ = GSRFoldRunner(fused, lr, hr, folds).train()
     np.testing.assert_allclose(np.asarray(lh0), np.asarray(lh1), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_adam_trainer_bitexact_vs_fused_step(rng):
+    """cfg.fused_adam (fwd+bwd+Adam in ONE kernel) is bit-exact vs the
+    fused_step path on CPU: Adam is elementwise, so per-leaf in-kernel
+    updates equal the flat-vector update exactly. (On v5e the kernel
+    exceeds the scoped-VMEM limit — see the module STATUS — so this
+    contract is pinned in interpret mode.)"""
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    d = load_or_synthesize(None, n_train=6, n_test=1, seed=3)
+    lr = d["lr_train"][:, :20, :20].copy()
+    hr = d["hr_train"][:, :32, :32].copy()
+    folds = kfold_indices(6, 2, seed=42)
+    hists = []
+    for kw in (dict(fused_step=True), dict(fused_adam=True)):
+        cfg = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                             ks=(0.9, 0.7), epochs=3, **kw)
+        r = GSRFoldRunner(cfg, lr, hr, folds)
+        _, lh, _ = r.train()
+        maes, _ = r.evaluate()
+        hists.append((np.asarray(lh), np.asarray(maes)))
+    np.testing.assert_array_equal(hists[0][0], hists[1][0])
+    np.testing.assert_array_equal(hists[0][1], hists[1][1])
