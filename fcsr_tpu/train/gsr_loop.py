@@ -60,13 +60,12 @@ class GSRTrainConfig:
     # three-kernel path up to float reassociation. Takes precedence over
     # fused_tail/fused_unet/fused_unet_bwd in the fold-parallel trainer.
     fused_step: bool = False
-    # EXPERIMENTAL: the training step INCLUDING the (masked) Adam update
-    # as one kernel (models/fused_step.py::train_step_fused) —
-    # elementwise-identical Adam math, bit-exact vs fused_step on CPU
-    # (tested). On v5e the kernel's I/O footprint (p+m+v in AND out,
-    # ~64 MB over 3 folds) exceeds the 16 MB scoped-VMEM limit and the
-    # compile fails ("Ran out of memory in memory space vmem"); see
-    # PERF.md "in-kernel Adam". Do not enable on TPU at full dims.
+    # the training step INCLUDING the (masked) Adam update as one kernel
+    # (models/fused_step.py::train_step_fused): eliminates the flat-Adam
+    # marshalling traffic around the step kernel. Elementwise-identical
+    # Adam math — bit-exact vs fused_step (tested). Fastest measured
+    # path (4.72 s steady under FCSR_MM_MODE=bf16, PERF.md); needs the
+    # raised per-kernel VMEM cap the pallas_call sets itself.
     fused_adam: bool = False
     # NON-DEFAULT fast mode for the fold-parallel trainer: forward/backward
     # matmul operands in bfloat16 (f32 master params + f32 Adam + f32
