@@ -12,7 +12,13 @@ starts compiling, wire cfg.fused_step into the trainer and re-bench.
 History:
   2026-08 r1/r2: HTTP 500 from the compile service (full dims and
   reduced dims); U-Net forward-only kernel + tail kernel compile fine.
-  2026-08 r3: see output committed in ROUND_NOTES.md.
+  2026-08 r3: RESOLVED. The current toolchain surfaces the real cause —
+  a scoped-VMEM overflow (19.37 MB vs the default 16 MB budget). With
+  CompilerParams(vmem_limit_bytes=112MB) the kernel COMPILED+RAN:
+  "COMPILED+RAN in 489.7s: loss=2.290715 (want 2.290715)
+   max_grad_diff=1.68e-08" (v5e, 2026-08-17). The ~8-minute compile
+  (vs seconds for the hand-written-adjoint kernels) keeps it a
+  validation artifact; production runs cfg.fused_adam.
 """
 import os
 import sys
@@ -41,7 +47,7 @@ def main():
 
     model = cfg.model()
     eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), eye, u_lr=eye)["params"]
+    params = model.init(jax.random.PRNGKey(0), eye, u_lr=eye)
     rng = np.random.default_rng(0)
     u_lr = jnp.asarray(np.linalg.qr(
         rng.normal(size=(cfg.lr_dim, cfg.lr_dim)))[0].astype(np.float32))
