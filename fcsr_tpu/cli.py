@@ -65,6 +65,13 @@ def build_parser():
     g.add_argument("--fused-tail", action="store_true",
                    help="run the spectral-layer+decoder+loss segment as "
                         "one fused Pallas kernel (TPU; identical math)")
+    g.add_argument("--fused", action="store_true",
+                   help="run the ENTIRE training step (forward, backward "
+                        "and Adam) as one Pallas kernel — the fastest "
+                        "measured path (PERF.md; implies --fast; math "
+                        "identical to the unfused trainer up to float "
+                        "reassociation; on CPU it falls back to the slow "
+                        "kernel interpreter, so use on TPU)")
 
     m = trs.add_parser("mlp")
     _add_common(m)
@@ -149,8 +156,9 @@ def main(argv=None):
             from fcsr_tpu.train import GSRTrainConfig
             cfg = GSRTrainConfig(epochs=args.epochs, lr=args.lr,
                                  lmbda=args.lmbda,
-                                 fused_tail=args.fused_tail)
-            if args.fast or args.multichip:
+                                 fused_tail=args.fused_tail,
+                                 fused_adam=args.fused)
+            if args.fast or args.multichip or args.fused:
                 result = run_gsr_cv_fast(
                     data, cfg, splits=args.splits, seed=args.seed,
                     full_metrics=args.full_metrics,

@@ -186,3 +186,27 @@ def test_fold_sharded_checkpoint_chunks(rng, tmp_path):
     _, lh2, _ = chunked.train(checkpoint_path=str(tmp_path / "ck.msgpack"),
                               checkpoint_every=2)
     np.testing.assert_allclose(np.asarray(lh1), np.asarray(lh2), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fold_sharded_fused_adam_matches_single(rng):
+    """The production fused whole-step+Adam kernel under the fold-sharded
+    mesh is bit-equal to the single-device run (interpret kernels on the
+    8-CPU mesh)."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+
+    cfg = GSRTrainConfig(lr_dim=16, hr_dim=24, hidden_dim=24,
+                         ks=(0.8, 0.5), epochs=2, fused_adam=True)
+    lr, hr = _fold_dataset(rng)
+    folds = kfold_indices(len(lr), 2, seed=42)
+    mesh = batch_mesh(jax.devices()[:2])
+
+    single = GSRFoldRunner(cfg, lr, hr, folds)
+    _, lh1, _ = single.train()
+    m1, _ = single.evaluate()
+    sharded = GSRFoldRunner(cfg, lr, hr, folds, mesh=mesh)
+    _, lh2, _ = sharded.train()
+    m2, _ = sharded.evaluate()
+    np.testing.assert_array_equal(np.asarray(lh1), np.asarray(lh2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
