@@ -179,26 +179,40 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
 
     for epoch in range(num_epochs):
         order = rng.permutation(n)
-        epoch_losses = []
+        validate = ((epoch + 1) % validate_every == 0
+                    or (epoch + 1) == num_epochs)
+        # dispatch every program of the epoch WITHOUT blocking, then pull
+        # all scalars in one device round trip — the loop is otherwise
+        # tunnel-latency-bound at ~1 s/epoch (3 blocking pulls)
+        losses_d = rem_d = vloss_d = None
         if n_full:
             idx = order[:n_full * batch_size].reshape(n_full, batch_size)
             key, sub = jax.random.split(key)
-            variables, opt_state, losses = train_epoch_full(
+            variables, opt_state, losses_d = train_epoch_full(
                 variables, opt_state, lr_train_d, hr_train_d,
                 jnp.asarray(idx.astype(np.int32)), sub)
-            epoch_losses.extend(np.asarray(losses).tolist())
         if n % batch_size:
             idx = order[n_full * batch_size:]
             key, sub = jax.random.split(key)
-            variables, opt_state, loss = train_step(
+            variables, opt_state, rem_d = train_step(
                 variables, opt_state, lr_train_d, hr_train_d,
                 jnp.asarray(idx.astype(np.int32)), sub)
-            epoch_losses.append(float(loss))
+        if validate:
+            vloss_d, _ = eval_step(variables, lr_val, hr_val)
+
+        # pack into one device array -> ONE host pull per epoch
+        parts = [p for p in (
+            losses_d,
+            rem_d[None] if rem_d is not None else None,
+            vloss_d[None] if vloss_d is not None else None) if p is not None]
+        packed = np.asarray(jnp.concatenate(parts))
+        n_rem = 1 if rem_d is not None else 0
+        n_tr = len(packed) - n_rem - (1 if vloss_d is not None else 0)
+        epoch_losses = packed[:n_tr + n_rem].tolist()
         train_hist.append(float(np.mean(epoch_losses)))
 
-        if (epoch + 1) % validate_every == 0 or (epoch + 1) == num_epochs:
-            vloss, _ = eval_step(variables, lr_val, hr_val)
-            vloss = float(vloss)
+        if validate:
+            vloss = float(packed[-1])
             val_hist.append(vloss)
             new_lr = scheduler.step(vloss)
             if new_lr != cur_lr:
