@@ -88,6 +88,10 @@ def build_parser():
     a.add_argument("--fast", action="store_true",
                    help="fold-parallel trainer (all folds in one vmapped "
                         "program; see train/gat_loop.py)")
+    a.add_argument("--fused", action="store_true",
+                   help="run each GAT training step (fwd, bwd and AdamW) "
+                        "as one Pallas kernel (implies --fast; TPU — on "
+                        "CPU falls back to the slow kernel interpreter)")
     a.add_argument("--splits", type=int, default=3)
     a.add_argument("--epochs", type=int, default=100)
     a.add_argument("--lr", type=float, default=1e-3)
@@ -193,8 +197,9 @@ def main(argv=None):
             from fcsr_tpu.pipelines import run_gat_cv, run_gat_cv_fast
             from fcsr_tpu.train.gat_loop import GATTrainConfig
             cfg = GATTrainConfig(epochs=args.epochs, lr=args.lr,
-                                 dim=args.dim)
-            runner = run_gat_cv_fast if args.fast else run_gat_cv
+                                 dim=args.dim, fused_step=args.fused)
+            runner = run_gat_cv_fast if (args.fast or args.fused) \
+                else run_gat_cv
             result = runner(data, splits=args.splits, seed=args.seed,
                             cfg=cfg, full_metrics=args.full_metrics,
                             eval_backend=args.eval_backend,

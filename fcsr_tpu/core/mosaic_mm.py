@@ -43,7 +43,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mm", "mm_bf16", "mm_bf16x3", "mm_bf16x3_concat", "MODE"]
+__all__ = ["mm", "mm_compensated", "mm_bf16", "mm_bf16x3",
+           "mm_bf16x3_concat", "MODE"]
 
 MODE = os.environ.get("FCSR_MM_MODE", "bf16x3_concat")
 
@@ -110,3 +111,24 @@ def _mm_bwd(res, ct):
 
 
 mm.defvjp(_mm_fwd, _mm_bwd)
+
+
+@jax.custom_vjp
+def mm_compensated(a, b):
+    """Always-compensated (bf16x3_concat) variant, ignoring MODE — for
+    kernels whose tiny operands make the single-pass bf16 mode SLOWER
+    (the bf16 tile relayouts dominate; measured on the GAT kernel,
+    PERF.md 'GAT-specific kernel findings')."""
+    return mm_bf16x3_concat(a, b)
+
+
+def _mmc_fwd(a, b):
+    return mm_bf16x3_concat(a, b), (a, b)
+
+
+def _mmc_bwd(res, ct):
+    a, b = res
+    return mm_bf16x3_concat(ct, b.T), mm_bf16x3_concat(a.T, ct)
+
+
+mm_compensated.defvjp(_mmc_fwd, _mmc_bwd)

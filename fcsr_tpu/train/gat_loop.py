@@ -52,6 +52,13 @@ class GATTrainConfig:
     # steady 3x100ep run 117 s -> 53 s but roughly quadruples the
     # first-process compile (84 s -> ~320 s). Set 1 for one-shot runs.
     scan_unroll: int = 2
+    # run each training step (fwd + bwd + masked AdamW) as ONE Mosaic
+    # kernel (models/fused_gat.py) in the fold-parallel trainer. Same
+    # math as the op-graph path up to the compensated-matmul accuracy
+    # class (tested at drop_p=0); dropout uses the in-kernel PRNG, so
+    # with drop_p > 0 trajectories are stochastically equivalent, not
+    # bitwise. Measured on v5e: see PERF.md.
+    fused_step: bool = False
 
     def model(self) -> GATGraphUnet:
         return GATGraphUnet(ks=self.ks, n_nodes=self.n_nodes,
@@ -286,35 +293,93 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
 
     grad_fn = jax.value_and_grad(sample_loss)
 
-    @jax.jit
-    def epoch_all(state_f, lr_f, active_f, order_f, valid_f, keys_f):
-        """One epoch over every fold: scan of masked flat-AdamW steps,
-        vmapped over the fold axis."""
-        def fold_epoch(state, lr_s, active, order, valid, key):
-            def step(carry, batch):
-                p, m, v, t, key = carry
-                i, ok = batch
-                ok = ok * active
-                key, sub = jax.random.split(key)
-                loss, g = grad_fn(p, lr_d[i], hr_d[i], x_d[i], sub)
-                t_new = t + ok
-                stp, m_new, v_new = adamw_flat_update(
-                    g, p, m, v, jnp.maximum(t_new, 1.0), lr_s,
-                    wd=cfg.weight_decay)
-                p = p - ok * stp
-                m = jnp.where(ok > 0, m_new, m)
-                v = jnp.where(ok > 0, v_new, v)
-                return (p, m, v, t_new, key), loss * ok
-            # unroll: fewer scan-loop iterations per epoch (exact math;
-            # same lever as the GSR fast trainer — see cfg.scan_unroll)
-            (p, m, v, t, _), losses = jax.lax.scan(
-                step, (*state, key), (order, valid),
-                unroll=max(1, cfg.scan_unroll))
-            denom = jnp.maximum((valid * active).sum(), 1.0)
-            return (p, m, v, t), jnp.sum(losses) / denom
+    if cfg.fused_step:
+        # whole step (fwd + bwd + masked AdamW) as ONE Mosaic kernel;
+        # state stays flat between epochs (same best-state/val layout),
+        # converted to kernel leaves once per epoch launch
+        from fcsr_tpu.models.fused_gat import (gat_leaves_from_tree,
+                                               gat_train_step_fused,
+                                               gat_tree_from_leaves)
+        from fcsr_tpu.core.normalize import symmetric_normalize
+        a0_d = jax.jit(lambda a: symmetric_normalize(
+            a + jnp.eye(cfg.n_nodes, dtype=a.dtype)))(lr_d)
+        kwf = dict(dim=cfg.dim, ks=cfg.ks, n_nodes=cfg.n_nodes,
+                   m_nodes=cfg.m_nodes, heads=cfg.heads,
+                   intermediate_losses=cfg.intermediate_losses,
+                   drop_p=cfg.drop_p, wd=cfg.weight_decay)
 
-        return jax.vmap(fold_epoch)(state_f, lr_f, active_f, order_f,
-                                    valid_f, keys_f)
+        def leaves_of(flat):
+            return gat_leaves_from_tree(unravel(flat), cfg.dim, cfg.ks,
+                                        cfg.heads)
+
+        def flat_of(lv):
+            return ravel_pytree(
+                gat_tree_from_leaves(lv, cfg.dim, cfg.ks, cfg.heads))[0]
+
+        @jax.jit
+        def epoch_all(state_f, lr_f, active_f, order_f, valid_f, keys_f):
+            interp = jax.default_backend() != "tpu"
+
+            def fold_epoch(state, lr_s, active, order, valid, key):
+                p, m, v, t = state
+                p_l, m_l, v_l = leaves_of(p), leaves_of(m), leaves_of(v)
+
+                def step(carry, batch):
+                    p_l, m_l, v_l, t, key = carry
+                    i, ok = batch
+                    ok = ok * active
+                    key, sub = jax.random.split(key)
+                    seeds = jax.lax.bitcast_convert_type(
+                        sub, jnp.int32).reshape(1, 2)
+                    t_new = t + ok
+                    te = jnp.maximum(t_new, 1.0)
+                    scal = jnp.stack(
+                        [ok, lr_s, 1.0 - 0.9 ** te,
+                         1.0 - 0.999 ** te]).reshape(1, 4)
+                    loss, p_l, m_l, v_l = gat_train_step_fused(
+                        p_l, m_l, v_l, a0_d[i], x_d[i], hr_d[i], scal,
+                        seeds, interpret=interp, **kwf)
+                    return (p_l, m_l, v_l, t_new, key), loss * ok
+
+                (p_l, m_l, v_l, t, _), losses = jax.lax.scan(
+                    step, (p_l, m_l, v_l, t, key), (order, valid),
+                    unroll=max(1, cfg.scan_unroll))
+                denom = jnp.maximum((valid * active).sum(), 1.0)
+                return ((flat_of(p_l), flat_of(m_l), flat_of(v_l), t),
+                        jnp.sum(losses) / denom)
+
+            return jax.vmap(fold_epoch)(state_f, lr_f, active_f,
+                                        order_f, valid_f, keys_f)
+    else:
+        @jax.jit
+        def epoch_all(state_f, lr_f, active_f, order_f, valid_f, keys_f):
+            """One epoch over every fold: scan of masked flat-AdamW
+            steps, vmapped over the fold axis."""
+            def fold_epoch(state, lr_s, active, order, valid, key):
+                def step(carry, batch):
+                    p, m, v, t, key = carry
+                    i, ok = batch
+                    ok = ok * active
+                    key, sub = jax.random.split(key)
+                    loss, g = grad_fn(p, lr_d[i], hr_d[i], x_d[i], sub)
+                    t_new = t + ok
+                    stp, m_new, v_new = adamw_flat_update(
+                        g, p, m, v, jnp.maximum(t_new, 1.0), lr_s,
+                        wd=cfg.weight_decay)
+                    p = p - ok * stp
+                    m = jnp.where(ok > 0, m_new, m)
+                    v = jnp.where(ok > 0, v_new, v)
+                    return (p, m, v, t_new, key), loss * ok
+                # unroll: fewer scan-loop iterations per epoch (exact
+                # math; same lever as the GSR fast trainer)
+                (p, m, v, t, _), losses = jax.lax.scan(
+                    step, (*state, key), (order, valid),
+                    unroll=max(1, cfg.scan_unroll))
+                denom = jnp.maximum((valid * active).sum(), 1.0)
+                return (p, m, v, t), jnp.sum(losses) / denom
+
+            return jax.vmap(fold_epoch)(state_f, lr_f, active_f,
+                                        order_f, valid_f, keys_f)
 
     @jax.jit
     def val_all(flat_f):

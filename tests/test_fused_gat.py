@@ -1,0 +1,112 @@
+"""Fused GAT training-step kernel (models/fused_gat.py): the pure
+gather-free formulation matches the flax model exactly, the kernel's
+in-kernel AD + AdamW matches the XLA reference, and the fold-parallel
+trainer with cfg.fused_step tracks the op-graph path."""
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcsr_tpu.core.normalize import symmetric_normalize
+from fcsr_tpu.models.fused_gat import (
+    gat_leaves_from_tree,
+    gat_step_loss,
+    gat_train_step_fused,
+    gat_tree_from_leaves,
+)
+from fcsr_tpu.train.gat_loop import (
+    GATTrainConfig,
+    precompute_gat_features,
+    unet_loss,
+)
+
+CFG = GATTrainConfig(n_nodes=20, m_nodes=32, dim=4, ks=(0.5, 0.5),
+                     heads=2, drop_p=0.0)
+KW = dict(dim=4, ks=(0.5, 0.5), n_nodes=20, m_nodes=32, heads=2)
+
+
+def _setup(rng):
+    model = CFG.model()
+    a_raw = rng.random((20, 20)).astype(np.float32)
+    a_raw = (a_raw + a_raw.T) / 2
+    a_raw = np.where(a_raw > 0.3, a_raw, 0.0).astype(np.float32)
+    hr = rng.random((32, 32)).astype(np.float32)
+    hr = jnp.asarray((hr + hr.T) / 2)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, jnp.asarray(a_raw))
+    x_feat = precompute_gat_features(a_raw[None], dim=4)[0]
+    a0 = symmetric_normalize(jnp.asarray(a_raw) + jnp.eye(20))
+    leaves = gat_leaves_from_tree(v["params"], 4, (0.5, 0.5), 2)
+    return model, v, a_raw, hr, x_feat, a0, leaves
+
+
+def test_leaf_tree_roundtrip(rng):
+    _, v, *_ , leaves = _setup(rng)
+    tree2 = gat_tree_from_leaves(leaves, 4, (0.5, 0.5), 2)
+    flat1 = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(tree2)[0]
+    assert len(flat1) == len(flat2)
+    for (p1, l1), (p2, l2) in zip(flat1, flat2):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_gat_step_loss_matches_model(rng):
+    """Pure gather-free step loss == model.apply + unet_loss (drop_p=0;
+    exact on CPU where the compensated matmul evaluates in f32)."""
+    model, v, a_raw, hr, x_feat, a0, leaves = _setup(rng)
+    pred, a_hist, a_recon = model.apply(v, jnp.asarray(a_raw), x=x_feat,
+                                        train=False)
+    want = float(unet_loss(pred, hr, a_hist, a_recon, True))
+    got = float(gat_step_loss(leaves, a0, x_feat, hr, **KW))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_gat_kernel_interpret_matches_pure(rng):
+    """Kernel (interpret): loss and implied grads (via the Adam moment
+    update m' = 0.1 g at t=1) match jax.value_and_grad of the pure
+    formulation."""
+    _, _, _, hr, x_feat, a0, leaves = _setup(rng)
+    lv, grads = jax.value_and_grad(
+        lambda l: gat_step_loss(l, a0, x_feat, hr, **KW))(leaves)
+    m0 = [jnp.zeros_like(l) for l in leaves]
+    v0 = [jnp.zeros_like(l) for l in leaves]
+    scal = jnp.asarray([[1.0, 1e-3, 0.1, 0.001]], jnp.float32)
+    seeds = jnp.zeros((1, 2), jnp.int32)
+    loss_k, p2, m2, v2 = gat_train_step_fused(
+        leaves, m0, v0, a0, x_feat, hr, scal, seeds, interpret=True, **KW)
+    np.testing.assert_allclose(float(loss_k), float(lv), atol=1e-6)
+    for g_ref, m_new in zip(grads, m2):
+        g_k = np.asarray(m_new) / 0.1
+        np.testing.assert_allclose(g_k, np.asarray(g_ref), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_gat_trainer_matches_unfused(rng):
+    """Fold-parallel GAT trainer with cfg.fused_step tracks the op-graph
+    path (drop_p=0; interpret kernels on CPU)."""
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.gat_loop import train_gat_folds_parallel
+
+    d = load_or_synthesize(None, n_train=6, n_test=1, seed=3)
+    lr = d["lr_train"][:, :20, :20].copy()
+    hr = d["hr_train"][:, :32, :32].copy()
+    folds = kfold_indices(6, 2, seed=42)
+    hists = []
+    for fused in (False, True):
+        cfg = GATTrainConfig(n_nodes=20, m_nodes=32, dim=4, ks=(0.5, 0.5),
+                             heads=2, drop_p=0.0, epochs=2,
+                             fused_step=fused, scan_unroll=1)
+        _, _, h = train_gat_folds_parallel(cfg, lr, hr, folds, seed=42)
+        hists.append(h)
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(hists[0][j]["val"]),
+                                   np.asarray(hists[1][j]["val"]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hists[0][j]["train"]),
+                                   np.asarray(hists[1][j]["train"]),
+                                   atol=1e-6)
