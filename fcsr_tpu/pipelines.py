@@ -91,8 +91,10 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
             seed=seed + j, verbose=verbose)
         fold_losses.append((tr_h, va_h, lr_h))
         import jax.numpy as jnp
-        preds = np.asarray(model.apply(variables, jnp.asarray(lr_all[va]),
-                                       train=False))
+        # jitted: the eager flax apply dispatches hundreds of ops
+        # through the tunnelled runtime (~17 s per call measured)
+        pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        preds = np.asarray(pred_fn(variables, jnp.asarray(lr_all[va])))
         if full_metrics:
             from fcsr_tpu.evalx.report import print_metrics
             fold_metrics.append(print_metrics(hr_all[va], preds, fold_i=j,
@@ -104,9 +106,10 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
     test_preds = None
     if data.get("lr_test") is not None:
         import jax.numpy as jnp
-        test_preds = np.asarray(model.apply(
+        pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        test_preds = np.asarray(pred_fn(
             best, jnp.asarray(np.asarray(data["lr_test"],
-                                         dtype=np.float32)), train=False))
+                                         dtype=np.float32))))
     return {"model": model, "variables": best, "fold_metrics": fold_metrics,
             "histories": fold_losses, "test_preds": test_preds}
 
