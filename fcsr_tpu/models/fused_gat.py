@@ -117,6 +117,26 @@ def _ones_col(n):
     return jnp.ones((n, 1), dtype=F32)
 
 
+def _blockdiag_cols(att):
+    """(heads, d) attention vectors -> (heads*d, heads) block-diagonal
+    matrix: column j holds att[j] in rows [j*d, (j+1)*d). One matmul
+    against the concatenated features then scores ALL heads at once;
+    the zero blocks contribute exactly 0.0, so the result is bit-equal
+    to the per-head products."""
+    heads, d = att.shape
+    cols = []
+    for j in range(heads):
+        pieces = []
+        if j:
+            pieces.append(jnp.zeros((j * d, 1), F32))
+        pieces.append(att[j:j + 1, :].T)
+        if heads - 1 - j:
+            pieces.append(jnp.zeros(((heads - 1 - j) * d, 1), F32))
+        cols.append(jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                    else pieces[0])
+    return jnp.concatenate(cols, axis=1) if heads > 1 else cols[0]
+
+
 def _gat_layer(w, att_src, att_dst, bias_row, a, x, heads: int,
                drop_mask=None, drop_p: float = 0.0):
     """Dense masked multi-head attention, PyG GATConv semantics
@@ -124,13 +144,16 @@ def _gat_layer(w, att_src, att_dst, bias_row, a, x, heads: int,
     n = x.shape[0]
     d_head = w.shape[1] // heads
     h = _mm(x, w)                                     # (n, heads*d)
+    # all heads' source/target attention terms in two matmuls
+    s_all = _mm(h, _blockdiag_cols(att_src))          # (n, heads)
+    t_all = _mm(h, _blockdiag_cols(att_dst))
     mask = (a != 0) | jnp.eye(n, dtype=bool)
     maskf = mask.astype(F32)
     outs = []
     for j in range(heads):
         h_j = h[:, j * d_head:(j + 1) * d_head]
-        s_j = _mm(h_j, att_src[j:j + 1, :].T)         # (n, 1): source term
-        t_j = _mm(h_j, att_dst[j:j + 1, :].T)         # (n, 1): target term
+        s_j = s_all[:, j:j + 1]                       # (n, 1): source term
+        t_j = t_all[:, j:j + 1]                       # (n, 1): target term
         # logits[i, jsrc] = leaky(att_src.h_jsrc + att_dst.h_i)
         logits = jnp.where(
             s_j.T + t_j >= 0, s_j.T + t_j, 0.2 * (s_j.T + t_j))
