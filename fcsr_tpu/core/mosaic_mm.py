@@ -43,7 +43,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mm", "mm_compensated", "mm_bf16", "mm_bf16x3",
+__all__ = ["mm", "mm_compensated", "mm_compensated3", "mm_bf16", "mm_bf16x3",
            "mm_bf16x3_concat", "MODE"]
 
 MODE = os.environ.get("FCSR_MM_MODE", "bf16x3_concat")
@@ -132,3 +132,26 @@ def _mmc_bwd(res, ct):
 
 
 mm_compensated.defvjp(_mmc_fwd, _mmc_bwd)
+
+
+@jax.custom_vjp
+def mm_compensated3(a, b):
+    """Always-compensated THREE-DOT variant (no operand concats), with
+    the same ideal adjoints. Hypothesis tested on the GAT kernel (whose
+    matmuls are tiny): the concat form's relayouts might cost more than
+    the two extra dot issues save. Measured NO — the concat form still
+    wins there (36.3 s vs 42.7 s train, v5e), so every kernel uses the
+    concat form; this variant stays as the recorded control."""
+    return mm_bf16x3(a, b)
+
+
+def _mmc3_fwd(a, b):
+    return mm_bf16x3(a, b), (a, b)
+
+
+def _mmc3_bwd(res, ct):
+    a, b = res
+    return mm_bf16x3(ct, b.T), mm_bf16x3(a.T, ct)
+
+
+mm_compensated3.defvjp(_mmc3_fwd, _mmc3_bwd)

@@ -119,6 +119,17 @@ def test_mosaic_mm_modes():
     np.testing.assert_allclose(np.asarray(M.mm_bf16(a, b)), want,
                                rtol=0.05, atol=0.15)
 
+    # pinned variants: same accuracy class + ideal adjoints
+    for fn in (M.mm_compensated, M.mm_compensated3):
+        np.testing.assert_allclose(np.asarray(fn(a, b)), want,
+                                   rtol=5e-4, atol=5e-4)
+        val, vjp = jax.vjp(fn, a, b)
+        da, db = vjp(jnp.ones_like(val))
+        np.testing.assert_allclose(np.asarray(da),
+                                   np.asarray(fn(jnp.ones_like(val), b.T)))
+        np.testing.assert_allclose(np.asarray(db),
+                                   np.asarray(fn(a.T, jnp.ones_like(val))))
+
     old = M.MODE
     try:
         for mode in ("bf16x3_concat", "bf16x3", "bf16"):
