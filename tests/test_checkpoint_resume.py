@@ -121,3 +121,20 @@ def test_resume_after_interrupt(tmp_path):
     np.testing.assert_allclose(np.asarray(l_ref), l2, atol=1e-6)
     np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p2),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_chunked_resume_fused_adam(tmp_path):
+    """The production bench path (cfg.fused_adam: whole-step+Adam
+    kernel) round-trips its state through checkpoint chunks exactly —
+    the flat <-> kernel-leaf conversions at chunk boundaries are
+    lossless."""
+    cfg = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                         ks=(0.9, 0.7), epochs=4, fused_adam=True)
+    lr, hr, folds = _setup()
+    p_ref, l_ref, _ = GSRFoldRunner(cfg, lr, hr, folds).train()
+    ck = str(tmp_path / "ck.msgpack")
+    p2, l2, _ = GSRFoldRunner(cfg, lr, hr, folds).train(
+        checkpoint_path=ck, checkpoint_every=2)
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p2))
