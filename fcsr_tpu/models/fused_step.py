@@ -40,7 +40,8 @@ tested). Compile-service status by kernel:
   Under the f32-class compensated matmuls it is ~4% slower than the
   3-kernel split (9.46 s vs 9.11 s steady — in-kernel-MXU-bound, not
   launch-bound); under FCSR_MM_MODE=bf16 the MXU share shrinks and the
-  merge wins (7.30 s vs 7.39 s) — the bench runs fused_step+bf16.
+  merge wins (7.30 s vs 7.39 s). The bench runs the Adam-inclusive
+  successor (cfg.fused_adam, ``train_step_fused``) + bf16: 4.73 s.
 * The AD-generated joint kernel (``step_value_and_grad_fused``, which
   rematerializes the U-Net inside the backward) — RESOLVED in round 3:
   the historical "HTTP 500 compile-service crash" surfaces on the
@@ -346,8 +347,10 @@ def _lin_names(n_levels: int):
 def _unet_fwd_math(w, b, lr_dim: int, sizes, L: int):
     """U-Net forward on VALUES (shared by the fwd kernel and the
     whole-step kernel). ``w``/``b`` are name->array dicts (biases staged
-    (1, n)). Returns (net, x0, d, s, P, pooled, xu, xf) where the lists
-    are per-level residuals exactly as the backward consumes them."""
+    (1, n)). Returns (net, x0, d, s, P, pooled, xu, xf, pre, kscol)
+    where the lists are per-level residuals exactly as the backward
+    consumes them (``pre``/``kscol`` — the pre-gate pooled features and
+    gate columns — let a single-kernel backward skip recomputing them)."""
     f32 = jnp.float32
 
     def lin(name, x):
@@ -359,6 +362,8 @@ def _unet_fwd_math(w, b, lr_dim: int, sizes, L: int):
     s = [None] * L
     P = [None] * L
     pooled = [None] * L
+    pre = [None] * L
+    kscol = [None] * L
     for i in range(L):
         di = lin(f"down_gcns_{i}", x)
         d[i] = di
@@ -372,7 +377,9 @@ def _unet_fwd_math(w, b, lr_dim: int, sizes, L: int):
         s[i] = si[:, None]
         P[i] = _topk_projection(si, sizes[i])
         ks_col = _mm(P[i], s[i])
-        x = _mm(P[i], di) * ks_col
+        kscol[i] = ks_col
+        pre[i] = _mm(P[i], di)
+        x = pre[i] * ks_col
         pooled[i] = x
 
     x = lin("bottom_gcn", x)
@@ -386,16 +393,20 @@ def _unet_fwd_math(w, b, lr_dim: int, sizes, L: int):
     xf = x
     cat = jnp.concatenate([x, x0], axis=1)
     net = lin("end_gcn", cat)
-    return net, x0, d, s, P, pooled, xu, xf
+    return net, x0, d, s, P, pooled, xu, xf, pre, kscol
 
 
 def _unet_bwd_math(wa_end, wb_end, w_bot, w_down, w_up, w_pool,
                    x0, d, s, P, pooled, xu, xf, ct_net, ct_start,
-                   L: int, hr_dim: int):
+                   L: int, hr_dim: int, pre_list=None, ks_list=None):
     """Hand-written U-Net adjoints on VALUES against the forward's
     residuals (shared by the bwd kernel and the whole-step kernel).
     Returns the grads in _lin_names order: kernels (end split into
-    a/b halves) then biases."""
+    a/b halves) then biases. The single-kernel callers pass the
+    forward's in-register ``pre``/``kscol`` residuals so the backward
+    skips recomputing them; the two-kernel path (which stores only the
+    gated ``pooled``) leaves them None and recomputes — identical
+    values either way."""
     f32 = jnp.float32
 
     def colsum(g):
@@ -432,8 +443,8 @@ def _unet_bwd_math(wa_end, wb_end, w_bot, w_down, w_up, w_pool,
         proj = P[i]
         dd = d[i]
         s_col = s[i]
-        pre = _mm(proj, dd)
-        ks_col = _mm(proj, s_col)
+        pre = _mm(proj, dd) if pre_list is None else pre_list[i]
+        ks_col = _mm(proj, s_col) if ks_list is None else ks_list[i]
         g_pre = g_p * ks_col
         g_ks = _mm(g_p * pre, jnp.ones((hr_dim, 1), dtype=f32))
         g_d = _mm(proj.T, g_pre)
@@ -483,7 +494,7 @@ def _make_unet_fwdbwd(ks: tuple, lr_dim: int, hr_dim: int, interpret: bool):
         xu_refs = outs[2 + 4 * L:2 + 5 * L]
         xf_ref = outs[2 + 5 * L]
 
-        net, x0, d, s, P, pooled, xu, xf = _unet_fwd_math(
+        net, x0, d, s, P, pooled, xu, xf, _, _ = _unet_fwd_math(
             w, b, lr_dim, sizes, L)
         net_ref[:] = net
         start_ref[:] = x0
@@ -692,7 +703,7 @@ def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
 
         w = {n: w_refs[j][:] for j, n in enumerate(names)}
         b = {n: b_refs[j][:] for j, n in enumerate(names)}
-        net, x0, d, s, P, pooled, xu, xf = _unet_fwd_math(
+        net, x0, d, s, P, pooled, xu, xf, pre_l, ks_l = _unet_fwd_math(
             w, b, lr_dim, sizes, L)
 
         (tail, recon), (g_wg, g_w1, g_w2, g_f) = jax.value_and_grad(
@@ -712,7 +723,8 @@ def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
             [w[f"down_gcns_{i}"] for i in range(L)],
             [w[f"up_gcns_{i}"] for i in range(L)],
             [w[f"pools_{i}"] for i in range(L)],
-            x0, d, s, P, pooled, xu, xf, ct_net, ct_start, L, hr_dim)
+            x0, d, s, P, pooled, xu, xf, ct_net, ct_start, L, hr_dim,
+            pre_list=pre_l, ks_list=ks_l)
 
         outs[0][0, 0] = loss
         outs[1][0, 0] = recon
@@ -875,7 +887,7 @@ def _make_train_step_kernel(ks: tuple, lr_dim: int, hr_dim: int,
         w = {n: w_refs[j][:] for j, n in enumerate(names[:-1])}
         w["end_gcn"] = jnp.concatenate([wa_ref[:], wb_ref[:]], axis=0)
         b = {n: b_refs[j][:] for j, n in enumerate(names)}
-        net, x0, d, s, P, pooled, xu, xf = _unet_fwd_math(
+        net, x0, d, s, P, pooled, xu, xf, pre_l, ks_l = _unet_fwd_math(
             w, b, lr_dim, sizes, L)
 
         (tail, recon), (g_wg, g_w1, g_w2, g_f) = jax.value_and_grad(
@@ -894,7 +906,8 @@ def _make_train_step_kernel(ks: tuple, lr_dim: int, hr_dim: int,
             [w[f"down_gcns_{i}"] for i in range(L)],
             [w[f"up_gcns_{i}"] for i in range(L)],
             [w[f"pools_{i}"] for i in range(L)],
-            x0, d, s, P, pooled, xu, xf, ct_net, ct_start, L, hr_dim)
+            x0, d, s, P, pooled, xu, xf, ct_net, ct_start, L, hr_dim,
+            pre_list=pre_l, ks_list=ks_l)
         # grads order: 16 weight mats + 15 biases (from _unet_bwd_math),
         # then the tail grads — matches the p_refs leaf order
         grads = grads + [g_wg, g_w1, g_w2]
