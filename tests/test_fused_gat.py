@@ -53,6 +53,7 @@ def test_leaf_tree_roundtrip(rng):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.slow
 def test_gat_step_loss_matches_model(rng):
     """Pure gather-free step loss == model.apply + unet_loss (drop_p=0;
     exact on CPU where the compensated matmul evaluates in f32)."""
