@@ -31,9 +31,9 @@ bit-exact vs the gather/top_k model under XLA (max grad diff 0.0,
 tested). Compile-service status by kernel:
 
 * U-Net forward kernel and the hand-written residual-based U-Net
-  backward kernel (``unet_fused_fwdbwd``): compile and run — this is the
-  production path together with the tail kernel (3 kernels/step,
-  9.11 s steady bench).
+  backward kernel (``unet_fused_fwdbwd``): compile and run — the
+  3-kernels/step path together with the tail kernel (9.11 s steady
+  under f32-class matmuls; the library default fused configuration).
 * Whole-step SINGLE kernel with hand-written adjoints
   (``gsr_step_loss_fused``, cfg.fused_step): COMPILES and runs as of
   round 3 (the hand-written backward keeps the jaxpr small enough).
