@@ -26,10 +26,12 @@ GAT family (ref: unet-transformer.py:54-197,219-427):
     ``drop_p = 0`` the math matches the unfused model exactly (up to the
     compensated-matmul accuracy class; tested).
 
-All matmuls run through core/mosaic_mm.mm, so FCSR_MM_MODE selects the
-f32-class compensated or single-pass bf16 MXU formulation, as in the GSR
-kernels. Bias adds are ones-matmuls (their adjoints are matmuls —
-Mosaic's tiny odd-size lane reductions do not lower in backward).
+All matmuls are PINNED to the f32-class compensated formulation
+(core/mosaic_mm.mm_compensated, ignoring FCSR_MM_MODE): at GAT's tiny
+per-head sizes the single-pass bf16 mode is 2.5x slower and costs
+quality (PERF.md). Bias adds are ones-matmuls (their adjoints are
+matmuls — Mosaic's tiny odd-size lane reductions do not lower in
+backward).
 """
 
 from __future__ import annotations
