@@ -429,9 +429,15 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                                      jnp.asarray(order),
                                      jnp.asarray(valid), epoch_keys)
         v_loss_f, v_mae_f = val_all(state[0])
-        tr_loss_f = np.asarray(tr_loss_f)
-        v_loss_f = np.asarray(v_loss_f)
-        flat_now = np.asarray(state[0])
+        # ONE scalar pull per epoch; the ~1 MB params pull happens only
+        # on epochs where some fold actually improved (the loop is
+        # tunnel-round-trip sensitive: 100 epochs of host control)
+        packed = np.asarray(jnp.concatenate([tr_loss_f, v_loss_f]))
+        tr_loss_f = packed[:n_folds]
+        v_loss_f = packed[n_folds:]
+        improved = [bool(active[j]) and v_loss_f[j] < best_val[j]
+                    for j in range(n_folds)]
+        flat_now = np.asarray(state[0]) if any(improved) else None
 
         for j in range(n_folds):
             if not active[j]:
@@ -441,7 +447,7 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
             new_lr = schedulers[j].step(float(v_loss_f[j]))
             cur_lr[j] = new_lr
             hists[j]["lr"].append(float(new_lr))
-            if v_loss_f[j] < best_val[j]:  # reference bug (>) fixed
+            if improved[j]:  # reference bug (>) fixed: keep the BEST
                 best_val[j] = v_loss_f[j]
                 best_flat[j] = flat_now[j].copy()
             if new_lr < 1e-5:
