@@ -92,6 +92,10 @@ def build_parser():
                    help="run each GAT training step (fwd, bwd and AdamW) "
                         "as one Pallas kernel (implies --fast; TPU — on "
                         "CPU falls back to the slow kernel interpreter)")
+    a.add_argument("--multichip", action="store_true",
+                   help="shard the fold axis of the fold-parallel trainer "
+                        "over all local devices (implies --fast; "
+                        "zero-collective layout like the GSR trainer)")
     a.add_argument("--splits", type=int, default=3)
     a.add_argument("--epochs", type=int, default=100)
     a.add_argument("--lr", type=float, default=1e-3)
@@ -198,12 +202,18 @@ def main(argv=None):
             from fcsr_tpu.train.gat_loop import GATTrainConfig
             cfg = GATTrainConfig(epochs=args.epochs, lr=args.lr,
                                  dim=args.dim, fused_step=args.fused)
-            runner = run_gat_cv_fast if (args.fast or args.fused) \
-                else run_gat_cv
-            result = runner(data, splits=args.splits, seed=args.seed,
-                            cfg=cfg, full_metrics=args.full_metrics,
-                            eval_backend=args.eval_backend,
-                            verbose=args.verbose)
+            if args.fast or args.fused or args.multichip:
+                result = run_gat_cv_fast(
+                    data, splits=args.splits, seed=args.seed, cfg=cfg,
+                    full_metrics=args.full_metrics,
+                    eval_backend=args.eval_backend, verbose=args.verbose,
+                    multichip=args.multichip)
+            else:
+                result = run_gat_cv(data, splits=args.splits,
+                                    seed=args.seed, cfg=cfg,
+                                    full_metrics=args.full_metrics,
+                                    eval_backend=args.eval_backend,
+                                    verbose=args.verbose)
             _finish(args, result, "submission.csv", ordering="colmajor")
         return 0
 

@@ -52,9 +52,17 @@ from fcsr_tpu.models.fused_step import _topk_projection
 from fcsr_tpu.models.gat_unet import gat_pool_sizes
 
 __all__ = ["gat_step_loss", "gat_train_step_fused", "gat_leaves_from_tree",
-           "gat_tree_from_leaves", "gat_dims"]
+           "gat_tree_from_leaves", "gat_dims", "ADAM_B1", "ADAM_B2"]
 
 F32 = jnp.float32
+
+# Single source of truth for the AdamW betas: the kernel's in-kernel moment
+# updates AND the host/driver-side bias-correction scalars (1 - b^t, shipped
+# via the ``scalars`` operand) must use the SAME values or they silently
+# desynchronize. gat_train_step_fused defaults to these; callers computing
+# the corrections import them from here.
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
 
 
 def gat_dims(dim: int, ks: Sequence[float]) -> List[int]:
@@ -357,13 +365,16 @@ def _make_gat_train_kernel(dim: int, ks: tuple, n_nodes: int,
             v_outs[j][:] = jnp.where(okf > 0, v_new, v_v)
 
     def leaf_shapes():
+        # widths are h * d_head (= heads * (out_d // heads)), matching the
+        # flax params exactly — NOT out_d, which differs whenever a level
+        # width is not divisible by its head count
         shapes = []
         for _, in_d, out_d, h in specs:
             d_head = out_d // h
-            shapes += [jax.ShapeDtypeStruct((in_d, out_d), F32),
+            shapes += [jax.ShapeDtypeStruct((in_d, h * d_head), F32),
                        jax.ShapeDtypeStruct((h, d_head), F32),
                        jax.ShapeDtypeStruct((h, d_head), F32),
-                       jax.ShapeDtypeStruct((1, out_d), F32)]
+                       jax.ShapeDtypeStruct((1, h * d_head), F32)]
         dims = gat_dims(dim, ks)
         for i in range(L):
             shapes += [jax.ShapeDtypeStruct((dims[i + 1], 1), F32),
@@ -398,14 +409,21 @@ def gat_train_step_fused(p_leaves, m_leaves, v_leaves, a0, x0, hr,
                          scalars, seeds, *, dim: int, ks: Sequence[float],
                          n_nodes: int, m_nodes: int, heads: int,
                          intermediate_losses: bool = True,
-                         drop_p: float = 0.0, b1: float = 0.9,
-                         b2: float = 0.999, eps: float = 1e-8,
+                         drop_p: float = 0.0, b1: float = ADAM_B1,
+                         b2: float = ADAM_B2, eps: float = 1e-8,
                          wd: float = 0.01, interpret: bool = False):
     """One full GAT training step (fwd + bwd + masked AdamW) as ONE
     Mosaic kernel. ``scalars`` = f32 (1, 4) [[ok, lr, 1-b1^t, 1-b2^t]];
     ``seeds`` = int32 (1, 2) PRNG seed for the in-kernel dropout (unused
     when drop_p == 0). Returns (loss, p', m', v') in canonical leaf
     order (gat_leaves_from_tree)."""
+    for name, _, out_d, h in _layer_specs(int(dim), tuple(ks), int(heads)):
+        if out_d % h:
+            raise ValueError(
+                f"GAT level '{name}' has width {out_d} not divisible by "
+                f"its head count {h}; pick dim/ks so every level width "
+                f"int(dim/k...) is a multiple of heads (and the bottom "
+                f"width a multiple of 2)")
     fn = _make_gat_train_kernel(int(dim), tuple(ks), int(n_nodes),
                                 int(m_nodes), int(heads),
                                 bool(intermediate_losses), float(drop_p),

@@ -179,7 +179,10 @@ class GATGraphUnet(nn.Module):
         self.pools = [GATPool(sizes[i], dims[i + 1], dropout=self.drop_p)
                       for i in range(len(self.ks))]
         self.unpools = [GATUnpool() for _ in self.ks]
-        self.bottom_gcn = DenseGAT(dims[-1], dims[-1], heads=2)
+        # the reference's bottom GT receives drop_p too
+        # (ref: unet-transformer.py:296 GT(dim, dim, act, drop_p), heads=2)
+        self.bottom_gcn = DenseGAT(dims[-1], dims[-1], heads=2,
+                                   dropout=self.drop_p)
         self.upsampler = GraphUpsampler(self.n_nodes, self.m_nodes)
 
     def __call__(self, a_raw, x: Optional[jax.Array] = None,

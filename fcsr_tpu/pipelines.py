@@ -79,6 +79,13 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
         lr_train_in = lr_all[:, r_in, c_in]          # (N, L_in)
         hr_train_tgt = pack_triu_targets(hr_all)     # (N, L_out + n)
         criterion = make_triu_mse_criterion(n_out)
+    import jax.numpy as jnp
+
+    # ONE jitted prediction forward shared by every fold and the test
+    # pass (jitted: the eager flax apply dispatches hundreds of ops
+    # through the tunnelled runtime, ~17 s per call measured; hoisted:
+    # a fresh jit per fold would recompile the same program k times)
+    pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
     for j, (tr, va) in enumerate(folds):
         variables = model.init(
             {"params": jax.random.PRNGKey(seed + j),
@@ -90,10 +97,6 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
             lr=lr, batch_size=batch_size, criterion=criterion,
             seed=seed + j, verbose=verbose)
         fold_losses.append((tr_h, va_h, lr_h))
-        import jax.numpy as jnp
-        # jitted: the eager flax apply dispatches hundreds of ops
-        # through the tunnelled runtime (~17 s per call measured)
-        pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
         preds = np.asarray(pred_fn(variables, jnp.asarray(lr_all[va])))
         if full_metrics:
             from fcsr_tpu.evalx.report import print_metrics
@@ -105,8 +108,6 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
 
     test_preds = None
     if data.get("lr_test") is not None:
-        import jax.numpy as jnp
-        pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
         test_preds = np.asarray(pred_fn(
             best, jnp.asarray(np.asarray(data["lr_test"],
                                          dtype=np.float32))))
@@ -159,10 +160,14 @@ def run_gat_cv(data: Dict[str, np.ndarray], splits: int = 3,
 def run_gat_cv_fast(data: Dict[str, np.ndarray],
                     cfg=None, splits: int = 3, seed: int = 42,
                     full_metrics: bool = False,
-                    eval_backend: str = "device", verbose: bool = False):
+                    eval_backend: str = "device", verbose: bool = False,
+                    host_control: bool = False, multichip: bool = False):
     """Fold-parallel GAT CV: all folds in one vmapped program (see
-    train/gat_loop.py::train_gat_folds_parallel). Same result-dict shape
-    as run_gat_cv."""
+    train/gat_loop.py::train_gat_folds_parallel; control — plateau
+    scheduler, best-state, early stop — runs on device unless
+    ``host_control``). ``multichip=True`` shards the fold axis over all
+    local devices (zero-collective layout, like run_gsr_cv_fast). Same
+    result-dict shape as run_gat_cv."""
     import jax
 
     from fcsr_tpu.train.gat_loop import (GATTrainConfig, predict_gat,
@@ -173,9 +178,16 @@ def run_gat_cv_fast(data: Dict[str, np.ndarray],
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
+    mesh = None
+    if multichip:
+        from fcsr_tpu.parallel import batch_mesh
+        devices = jax.devices()
+        mesh = batch_mesh(devices[:min(len(devices), splits)])
+
     t0 = time.perf_counter()
     model, best_vars, histories = train_gat_folds_parallel(
-        cfg, lr_all, hr_all, folds, seed=seed, verbose=verbose)
+        cfg, lr_all, hr_all, folds, seed=seed, verbose=verbose,
+        host_control=host_control, mesh=mesh)
     t_train = time.perf_counter() - t0
 
     # all folds' validation predictions in ONE jitted program (vmapped

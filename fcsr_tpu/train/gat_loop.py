@@ -236,11 +236,14 @@ def adamw_flat_update(g, p, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8,
 
 
 def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
-                             seed: int = 42, verbose: bool = False):
+                             seed: int = 42, verbose: bool = False,
+                             host_control: bool = False,
+                             control_chunk_epochs: int = 25,
+                             mesh=None):
     """All CV folds trained as ONE vmapped program (the fast_loop playbook
     applied to the GAT family): flat-vector AdamW, per-fold traced lr for
     the plateau schedule (no re-jit on decay), masked no-op steps padding
-    ragged fold sizes, per-fold early-stop masks. Per-epoch host control
+    ragged fold sizes, per-fold early-stop masks. The control loop
     (scheduler, best-state snapshot, early stop) matches the single-fold
     ``train_gat`` semantics with per-fold seeds ``seed + j`` (exactly what
     ``run_gat_cv`` passes). Dropout streams differ from ``train_gat``
@@ -249,20 +252,63 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
     stochastically equivalent rather than bitwise identical; with
     ``drop_p = 0`` they match exactly (tested).
 
+    **Control runs ON DEVICE by default**: the plateau scheduler, the
+    best-params snapshot, and the early-stop masks are all lax.scan carry
+    inside a chunked compiled program (ref semantics:
+    utils/training.py:114-145 / unet-transformer.py:149-195). Per-epoch
+    shuffle plans are pregenerated on the host with the SAME RNG sequence
+    the host-control loop draws, so the two paths are trajectory-identical
+    at drop_p=0 (tested); the run makes ONE scalar pull per
+    ``control_chunk_epochs`` epochs (early-exit check) plus one bulk pull
+    at the end, instead of 100 epochs x (scalar + params) round trips —
+    the host-control loop's wall clock doubled under a slow tunnel.
+    ``host_control=True`` keeps the legacy per-epoch host loop.
+
+    ``mesh`` (optional 1-D ``('batch',)`` jax.sharding.Mesh) shards the
+    FOLD axis over the devices with the dataset replicated — the same
+    zero-collective layout as GSRFoldRunner (fold count padded to a mesh
+    multiple with fully-masked no-op folds). On-device control only.
+
     Returns (model, best_variables_per_fold, histories list).
     """
     from jax.flatten_util import ravel_pytree
 
     from fcsr_tpu.utils.transfer import device_put_fast
 
+    if mesh is not None and host_control:
+        raise ValueError("mesh= requires on-device control "
+                         "(host_control=False)")
+
     model = cfg.model()
     lr_np = np.asarray(lr_all, dtype=np.float32)
     hr_np = np.asarray(hr_all, dtype=np.float32)
-    lr_d = device_put_fast(lr_np)
-    hr_d = device_put_fast(hr_np)
-    x_d = precompute_gat_features(lr_np, dim=cfg.dim)
+    if mesh is None:
+        _put_rep = device_put_fast
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _rep_sh = NamedSharding(mesh, P())
+        _fold_sh = NamedSharding(mesh, P("batch"))
 
+        def _put_rep(a):
+            return jax.device_put(jnp.asarray(a), _rep_sh)
+    lr_d = _put_rep(lr_np)
+    hr_d = _put_rep(hr_np)
+    x_d = _put_rep(np.asarray(
+        precompute_gat_features(lr_np, dim=cfg.dim))) if mesh is not None \
+        else precompute_gat_features(lr_np, dim=cfg.dim)
+
+    n_real_folds = len(folds)
+    n_pad_folds = 0
+    if mesh is not None:
+        n_pad_folds = (-len(folds)) % mesh.devices.size
+        folds = list(folds) + [(np.zeros(1, np.int32),
+                                np.zeros(1, np.int32))] * n_pad_folds
     n_folds = len(folds)
+
+    def _put_folded(a):
+        a = jnp.asarray(a)
+        return a if mesh is None else jax.device_put(a, _fold_sh)
+
     flats = []
     unravel = None
     for j in range(n_folds):
@@ -271,18 +317,23 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                                jnp.eye(cfg.n_nodes, dtype=jnp.float32) * 0.5)
         flat, unravel = ravel_pytree(variables["params"])
         flats.append(flat)
-    flat_f = jnp.stack(flats)
+    flat_f = _put_folded(jnp.stack(flats))
 
     tr_sets = [np.asarray(tr, dtype=np.int32) for tr, _ in folds]
     va_sets = [np.asarray(va, dtype=np.int32) for _, va in folds]
-    tr_len = max(len(s) for s in tr_sets)
-    va_idx = np.zeros((n_folds, max(len(s) for s in va_sets)), np.int32)
+    if n_pad_folds:  # masked no-op folds: every train/val slot invalid
+        for j in range(n_real_folds, n_folds):
+            tr_sets[j] = np.zeros(0, np.int32)
+            va_sets[j] = np.zeros(0, np.int32)
+    tr_len = max(max(len(s) for s in tr_sets), 1)
+    va_idx = np.zeros((n_folds, max(max(len(s) for s in va_sets), 1)),
+                      np.int32)
     va_valid = np.zeros_like(va_idx, dtype=np.float32)
     for j, s in enumerate(va_sets):
         va_idx[j, :len(s)] = s
         va_valid[j, :len(s)] = 1.0
-    va_idx = jnp.asarray(va_idx)
-    va_valid = jnp.asarray(va_valid)
+    va_idx = _put_folded(va_idx)
+    va_valid = _put_folded(va_valid)
 
     def sample_loss(flat_params, lr_m, hr_m, x_feat, drop_key):
         pred, a_hist, a_recon = model.apply(
@@ -297,7 +348,8 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
         # whole step (fwd + bwd + masked AdamW) as ONE Mosaic kernel;
         # state stays flat between epochs (same best-state/val layout),
         # converted to kernel leaves once per epoch launch
-        from fcsr_tpu.models.fused_gat import (gat_leaves_from_tree,
+        from fcsr_tpu.models.fused_gat import (ADAM_B1, ADAM_B2,
+                                               gat_leaves_from_tree,
                                                gat_train_step_fused,
                                                gat_tree_from_leaves)
         from fcsr_tpu.core.normalize import symmetric_normalize
@@ -316,7 +368,6 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
             return ravel_pytree(
                 gat_tree_from_leaves(lv, cfg.dim, cfg.ks, cfg.heads))[0]
 
-        @jax.jit
         def epoch_all(state_f, lr_f, active_f, order_f, valid_f, keys_f):
             interp = jax.default_backend() != "tpu"
 
@@ -333,9 +384,12 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                         sub, jnp.int32).reshape(1, 2)
                     t_new = t + ok
                     te = jnp.maximum(t_new, 1.0)
+                    # bias corrections use the kernel's OWN betas (one
+                    # source of truth — fused_gat.ADAM_B1/B2), so they
+                    # can never desynchronize from the in-kernel moments
                     scal = jnp.stack(
-                        [ok, lr_s, 1.0 - 0.9 ** te,
-                         1.0 - 0.999 ** te]).reshape(1, 4)
+                        [ok, lr_s, 1.0 - ADAM_B1 ** te,
+                         1.0 - ADAM_B2 ** te]).reshape(1, 4)
                     loss, p_l, m_l, v_l = gat_train_step_fused(
                         p_l, m_l, v_l, a0_d[i], x_d[i], hr_d[i], scal,
                         seeds, interpret=interp, **kwf)
@@ -351,7 +405,6 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
             return jax.vmap(fold_epoch)(state_f, lr_f, active_f,
                                         order_f, valid_f, keys_f)
     else:
-        @jax.jit
         def epoch_all(state_f, lr_f, active_f, order_f, valid_f, keys_f):
             """One epoch over every fold: scan of masked flat-AdamW
             steps, vmapped over the fold axis."""
@@ -381,8 +434,7 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
             return jax.vmap(fold_epoch)(state_f, lr_f, active_f,
                                         order_f, valid_f, keys_f)
 
-    @jax.jit
-    def val_all(flat_f):
+    def val_all(flat_f, va_idx, va_valid):
         def fold_val(flat_params, idx, valid):
             def one(i):
                 pred, a_hist, a_recon = model.apply(
@@ -402,66 +454,188 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
         return jax.vmap(fold_val)(flat_f, va_idx, va_valid)
 
     z = jnp.zeros_like(flat_f)
-    state = (flat_f, z, z, jnp.zeros((n_folds,), jnp.float32))
+    state = (flat_f, z, z,
+             _put_folded(jnp.zeros((n_folds,), jnp.float32)))
     rngs = [np.random.default_rng(seed + j) for j in range(n_folds)]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_folds)
-    schedulers = [PlateauScheduler(cfg.lr, patience=cfg.patience,
-                                   factor=cfg.plateau_factor,
-                                   threshold=cfg.plateau_threshold)
-                  for _ in range(n_folds)]
-    cur_lr = np.full(n_folds, cfg.lr, dtype=np.float32)
-    active = np.ones(n_folds, dtype=np.float32)
-    best_val = np.full(n_folds, np.inf)
-    best_flat = [None] * n_folds
-    hists = [{"train": [], "val": [], "lr": []} for _ in range(n_folds)]
 
-    for epoch in range(cfg.epochs):
+    def draw_epoch_plan():
+        """One epoch's per-fold shuffled (padded) index plan — drawn from
+        the SAME per-fold host RNG sequence as the legacy host-control
+        loop, so both control paths consume identical permutations."""
         order = np.zeros((n_folds, tr_len), np.int32)
         valid = np.zeros((n_folds, tr_len), np.float32)
         for j, s in enumerate(tr_sets):
-            perm = s[rngs[j].permutation(len(s))]
-            order[j, :len(s)] = perm
-            valid[j, :len(s)] = 1.0
-        subs = jax.vmap(jax.random.split)(keys)
-        keys, epoch_keys = subs[:, 0], subs[:, 1]
-        state, tr_loss_f = epoch_all(state, jnp.asarray(cur_lr),
-                                     jnp.asarray(active),
-                                     jnp.asarray(order),
-                                     jnp.asarray(valid), epoch_keys)
-        v_loss_f, v_mae_f = val_all(state[0])
-        # ONE scalar pull per epoch; the ~1 MB params pull happens only
-        # on epochs where some fold actually improved (the loop is
-        # tunnel-round-trip sensitive: 100 epochs of host control)
-        packed = np.asarray(jnp.concatenate([tr_loss_f, v_loss_f]))
-        tr_loss_f = packed[:n_folds]
-        v_loss_f = packed[n_folds:]
-        improved = [bool(active[j]) and v_loss_f[j] < best_val[j]
-                    for j in range(n_folds)]
-        flat_now = np.asarray(state[0]) if any(improved) else None
+            if len(s):
+                perm = s[rngs[j].permutation(len(s))]
+                order[j, :len(s)] = perm
+                valid[j, :len(s)] = 1.0
+        return order, valid
 
+    if host_control:
+        epoch_jit = jax.jit(epoch_all)
+        val_jit = jax.jit(lambda f: val_all(f, va_idx, va_valid))
+        schedulers = [PlateauScheduler(cfg.lr, patience=cfg.patience,
+                                       factor=cfg.plateau_factor,
+                                       threshold=cfg.plateau_threshold)
+                      for _ in range(n_folds)]
+        cur_lr = np.full(n_folds, cfg.lr, dtype=np.float32)
+        active = np.ones(n_folds, dtype=np.float32)
+        best_val = np.full(n_folds, np.inf)
+        best_flat = [None] * n_folds
+        hists = [{"train": [], "val": [], "lr": []}
+                 for _ in range(n_folds)]
+
+        for epoch in range(cfg.epochs):
+            order, valid = draw_epoch_plan()
+            subs = jax.vmap(jax.random.split)(keys)
+            keys, epoch_keys = subs[:, 0], subs[:, 1]
+            state, tr_loss_f = epoch_jit(state, jnp.asarray(cur_lr),
+                                         jnp.asarray(active),
+                                         jnp.asarray(order),
+                                         jnp.asarray(valid), epoch_keys)
+            v_loss_f, v_mae_f = val_jit(state[0])
+            # ONE scalar pull per epoch; the ~1 MB params pull happens
+            # only on epochs where some fold actually improved (the loop
+            # is tunnel-round-trip sensitive: 100 epochs of host control)
+            packed = np.asarray(jnp.concatenate([tr_loss_f, v_loss_f]))
+            tr_loss_f = packed[:n_folds]
+            v_loss_f = packed[n_folds:]
+            improved = [bool(active[j]) and v_loss_f[j] < best_val[j]
+                        for j in range(n_folds)]
+            flat_now = np.asarray(state[0]) if any(improved) else None
+
+            for j in range(n_folds):
+                if not active[j]:
+                    continue
+                hists[j]["train"].append(float(tr_loss_f[j]))
+                hists[j]["val"].append(float(v_loss_f[j]))
+                new_lr = schedulers[j].step(float(v_loss_f[j]))
+                cur_lr[j] = new_lr
+                hists[j]["lr"].append(float(new_lr))
+                if improved[j]:  # reference bug (>) fixed: keep the BEST
+                    best_val[j] = v_loss_f[j]
+                    best_flat[j] = flat_now[j].copy()
+                if new_lr < 1e-5:
+                    active[j] = 0.0
+            if verbose:
+                print(f"epoch {epoch + 1}: val {v_loss_f.round(6)} "
+                      f"lr {cur_lr}")
+            if not active.any():
+                break
+
+        best_variables = []
         for j in range(n_folds):
-            if not active[j]:
-                continue
-            hists[j]["train"].append(float(tr_loss_f[j]))
-            hists[j]["val"].append(float(v_loss_f[j]))
-            new_lr = schedulers[j].step(float(v_loss_f[j]))
-            cur_lr[j] = new_lr
-            hists[j]["lr"].append(float(new_lr))
-            if improved[j]:  # reference bug (>) fixed: keep the BEST
-                best_val[j] = v_loss_f[j]
-                best_flat[j] = flat_now[j].copy()
-            if new_lr < 1e-5:
-                active[j] = 0.0
+            flat = best_flat[j] if best_flat[j] is not None \
+                else np.asarray(state[0][j])
+            best_variables.append({"params": unravel(jnp.asarray(flat))})
+        return model, best_variables, hists
+
+    # ---- on-device control (default) ----------------------------------
+    thr = cfg.plateau_threshold
+    patience = cfg.patience
+    factor = cfg.plateau_factor
+
+    def run_chunk(carry, orders_c, valids_c, va_idx, va_valid):
+        """``orders_c``/``valids_c``: (chunk, F, L). Carries the FULL
+        control state: (train state, PRNG keys, lr, active, scheduler
+        best, scheduler bad-count, best val, best params)."""
+        def one_epoch(carry, xs):
+            state, keys, lr, active, sbest, nbad, bval, bflat = carry
+            order, valid = xs
+            subs = jax.vmap(jax.random.split)(keys)
+            keys2, ekeys = subs[:, 0], subs[:, 1]
+            state2, tr_loss = epoch_all(state, lr, active, order, valid,
+                                        ekeys)
+            vloss, _ = val_all(state2[0], va_idx, va_valid)
+            act = active > 0
+            # torch ReduceLROnPlateau(mode='min', rel threshold) — the
+            # exact PlateauScheduler.step logic as vectorized lax ops
+            is_better = vloss < sbest * (1.0 - thr)
+            sbest2 = jnp.where(is_better, vloss, sbest)
+            nbad2 = jnp.where(is_better, 0, nbad + 1)
+            decay = nbad2 > patience
+            lr2 = jnp.where(decay, lr * factor, lr)
+            nbad2 = jnp.where(decay, 0, nbad2)
+            sbest2 = jnp.where(act, sbest2, sbest)
+            nbad2 = jnp.where(act, nbad2, nbad)
+            lr2 = jnp.where(act, lr2, lr)
+            improved = act & (vloss < bval)   # ref bug (>) fixed: BEST
+            bval2 = jnp.where(improved, vloss, bval)
+            bflat2 = jnp.where(improved[:, None], state2[0], bflat)
+            active2 = jnp.where(act & (lr2 < 1e-5), 0.0, active)
+            # ``active`` at epoch START: exactly the epochs the host
+            # loop would have recorded for this fold
+            hist = (tr_loss, vloss, lr2, active)
+            return (state2, keys2, lr2, active2, sbest2, nbad2, bval2,
+                    bflat2), hist
+
+        carry, hists = jax.lax.scan(one_epoch, carry,
+                                    (orders_c, valids_c))
+        return carry, hists
+
+    if mesh is None:
+        chunk_fn = jax.jit(run_chunk)
+        _put_epochs = jnp.asarray
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        fold = NamedSharding(mesh, P("batch"))
+        efold = NamedSharding(mesh, P(None, "batch"))
+        carry_sh = ((fold, fold, fold, fold), fold, fold, fold, fold,
+                    fold, fold, fold)
+        chunk_fn = jax.jit(
+            run_chunk,
+            in_shardings=(carry_sh, efold, efold, fold, fold),
+            out_shardings=(carry_sh, (efold, efold, efold, efold)))
+
+        def _put_epochs(a):
+            return jax.device_put(jnp.asarray(a), efold)
+
+    carry = (state, _put_folded(keys),
+             _put_folded(jnp.full((n_folds,), cfg.lr, jnp.float32)),
+             _put_folded(jnp.ones((n_folds,), jnp.float32)),
+             _put_folded(jnp.full((n_folds,), jnp.inf, jnp.float32)),
+             _put_folded(jnp.zeros((n_folds,), jnp.int32)),
+             _put_folded(jnp.full((n_folds,), jnp.inf, jnp.float32)),
+             flat_f)
+    hist_parts = []
+    done = 0
+    while done < cfg.epochs:
+        chunk = min(control_chunk_epochs, cfg.epochs - done)
+        oc = np.zeros((chunk, n_folds, tr_len), np.int32)
+        vc = np.zeros((chunk, n_folds, tr_len), np.float32)
+        for e in range(chunk):
+            oc[e], vc[e] = draw_epoch_plan()
+        carry, hists_c = chunk_fn(carry, _put_epochs(oc), _put_epochs(vc),
+                                  va_idx, va_valid)
+        hist_parts.append(hists_c)
+        done += chunk
+        # ONE scalar pull per chunk: early-exit when every fold stopped
+        still_active = float(jnp.max(carry[3]))
         if verbose:
-            print(f"epoch {epoch + 1}: val {v_loss_f.round(6)} "
-                  f"lr {cur_lr}")
-        if not active.any():
+            print(f"epochs {done}: active={still_active > 0}")
+        if still_active == 0.0:
             break
 
+    # one bulk pull at the end: histories + best state
+    tr_h, v_h, lr_h, act_h = (np.concatenate(
+        [np.asarray(h[i]) for h in hist_parts], axis=0) for i in range(4))
+    _, _, _, _, _, _, bval_d, bflat_d = carry
+    bval_np = np.asarray(bval_d)
+    bflat_np = np.asarray(bflat_d)
+    final_np = np.asarray(carry[0][0])
+
+    hists = []
+    for j in range(n_real_folds):
+        mask = act_h[:, j] > 0
+        hists.append({"train": [float(x) for x in tr_h[mask, j]],
+                      "val": [float(x) for x in v_h[mask, j]],
+                      "lr": [float(x) for x in lr_h[mask, j]]})
     best_variables = []
-    for j in range(n_folds):
-        flat = best_flat[j] if best_flat[j] is not None \
-            else np.asarray(state[0][j])
+    for j in range(n_real_folds):
+        # NaN-robust fallback mirroring the host loop: a fold that never
+        # improved (bval still inf) returns its FINAL params
+        flat = bflat_np[j] if np.isfinite(bval_np[j]) else final_np[j]
         best_variables.append({"params": unravel(jnp.asarray(flat))})
     return model, best_variables, hists
 

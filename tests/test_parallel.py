@@ -210,3 +210,38 @@ def test_fold_sharded_fused_adam_matches_single(rng):
     m2, _ = sharded.evaluate()
     np.testing.assert_array_equal(np.asarray(lh1), np.asarray(lh2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+@pytest.mark.slow
+def test_gat_fold_sharded_matches_single_device(rng):
+    """The GAT fold-parallel trainer with mesh= shards the fold axis
+    (3 real folds padded to the 8-device mesh with masked no-op folds)
+    and must reproduce the single-device histories and best params
+    (drop_p=0: the dropout-key choreography cannot affect the math)."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.gat_loop import (GATTrainConfig,
+                                         train_gat_folds_parallel)
+    from jax.flatten_util import ravel_pytree
+
+    cfg = GATTrainConfig(n_nodes=20, m_nodes=32, ks=(0.5, 0.5), dim=8,
+                         epochs=3, drop_p=0.0)
+    lr = np.stack([random_symmetric(rng, 20) for _ in range(12)])
+    hr = np.stack([random_symmetric(rng, 32) for _ in range(12)])
+    folds = kfold_indices(12, 3, seed=42)
+
+    _, v1, h1 = train_gat_folds_parallel(cfg, lr, hr, folds, seed=42)
+    mesh = batch_mesh(jax.devices()[:8])
+    _, v2, h2 = train_gat_folds_parallel(cfg, lr, hr, folds, seed=42,
+                                         mesh=mesh)
+    assert len(v2) == 3  # sliced back to the real folds
+    for j in range(3):
+        np.testing.assert_allclose(h1[j]["val"], h2[j]["val"],
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(h1[j]["train"], h2[j]["train"],
+                                   rtol=2e-4, atol=2e-5)
+        f1 = np.asarray(ravel_pytree(v1[j]["params"])[0])
+        f2 = np.asarray(ravel_pytree(v2[j]["params"])[0])
+        # a handful of params drift to ~7e-4 over 3 epochs: AdamW's
+        # rsqrt amplifies last-ulp fusion differences between the
+        # sharded and unsharded compiles (histories above stay tight)
+        np.testing.assert_allclose(f1, f2, atol=1e-3)
