@@ -5,6 +5,19 @@ Replicates the semantics of the reference's ``train_model``
 semantics), global-norm grad clip 1.0, per-epoch validation, best-val
 checkpoint restore, early stop when lr < 1e-5.
 
+**Control runs ON DEVICE by default** (round 3): the plateau scheduler,
+best-state snapshot and early-stop mask are lax.scan carry inside a
+chunked compiled program, with per-epoch shuffle plans pregenerated on
+the host from the SAME RNG sequence the legacy host loop draws — the
+two paths are trajectory-identical (tested). The host loop made ~1
+blocking device round trip per epoch; over a high-latency link that
+round-trip cost dominated the whole MLP family wall clock (the
+430-830 s "cold compile" of round 2 was actually this — the programs
+themselves compile in ~5 s, measured in
+tools/experiments/mlp_compile_breakdown.py). The on-device path makes
+one scalar pull per ``control_chunk_epochs`` epochs plus one bulk pull
+at the end. ``host_control=True`` keeps the legacy loop.
+
 Divergence (documented): the reference's loader reports ``len = n //
 batch_size`` but iterates ceil(n / batch_size) batches, so its logged
 average loss is slightly inflated (ref: utils/data.py:77-86 vs
@@ -14,6 +27,7 @@ utils/training.py:110); we average over the true batch count.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -70,11 +84,12 @@ def mse_criterion(pred, target):
 
 
 def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
-    """Step programs. The dataset stays DEVICE-RESIDENT (shipped once,
-    flat-staged — see utils/transfer.py for why >2-D transfers must not
-    cross the tunnel per batch); per-epoch sample selection is an integer
-    gather inside the compiled programs, so only the small 2-D index
-    plans ship each epoch."""
+    """Step program BODIES (unjitted — the host-control path jits them,
+    the device-control path embeds them in its epoch scan). The dataset
+    stays DEVICE-RESIDENT (shipped once, flat-staged — see
+    utils/transfer.py for why >2-D transfers must not cross the tunnel
+    per batch); per-epoch sample selection is an integer gather inside
+    the compiled programs, so only the small 2-D index plans ship."""
 
     def train_step_body(variables, opt_state, lr_b, hr_b, dropout_key):
         params = variables["params"]
@@ -93,12 +108,10 @@ def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
         params = optax.apply_updates(params, updates)
         return {"params": params, **new_aux}, opt_state, loss
 
-    @jax.jit
     def train_step(variables, opt_state, lr_all, hr_all, idx, dropout_key):
         return train_step_body(variables, opt_state, lr_all[idx],
                                hr_all[idx], dropout_key)
 
-    @jax.jit
     def train_epoch_full(variables, opt_state, lr_all, hr_all, idxs,
                          dropout_key):
         """All FULL batches of one epoch as a single lax.scan — one
@@ -116,12 +129,113 @@ def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
             step, (variables, opt_state, dropout_key), idxs)
         return variables, opt_state, losses
 
-    @jax.jit
     def eval_step(variables, lr_b, hr_b):
         pred = model.apply(variables, lr_b, train=False)
         return criterion(pred, hr_b), pred
 
     return train_step, train_epoch_full, eval_step
+
+
+@lru_cache(maxsize=32)
+def _build_device_control_program(model, criterion: Callable,
+                                  mutable_cols, lr0: float,
+                                  batch_size: int, n: int,
+                                  patience: int, plateau_threshold: float,
+                                  plateau_factor: float, clip_norm: float,
+                                  weight_decay: float,
+                                  min_lr_stop: float):
+    """Jitted chunked control program + its optimizer, cached per
+    (model/criterion/schedule/shape) config so repeat ``train_model``
+    calls (per-fold loops, benches) reuse ONE compiled executable
+    instead of re-tracing a fresh closure every call. ``criterion`` must
+    be a stable function object (module-level, or from the lru_cached
+    ``make_triu_mse_criterion``)."""
+    def tx_factory(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.adamw(learning_rate=learning_rate, b1=0.9, b2=0.999,
+                        eps=1e-8, weight_decay=weight_decay))
+
+    # lr is optimizer STATE (inject_hyperparams): plateau decays update a
+    # traced scalar instead of rebuilding + re-jitting the step programs
+    tx = optax.inject_hyperparams(tx_factory)(learning_rate=lr0)
+    train_step, train_epoch_full, eval_step = _make_step_fns(
+        model, tx, criterion, mutable_cols)
+    n_full = n // batch_size
+    n_rem = n % batch_size
+
+    def set_lr(opt_state, new_lr):
+        return opt_state._replace(hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": jnp.asarray(new_lr, jnp.float32)})
+
+    def masked_select(flag, new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(flag > 0, a, b), new, old)
+
+    def run_chunk(carry, perms_c, do_val_c, lr_train_d, hr_train_d,
+                  lr_val, hr_val):
+        """``perms_c``: (chunk, n) int32 shuffled index plans;
+        ``do_val_c``: (chunk,) f32 validate-this-epoch flags. Carry holds
+        the FULL control state."""
+        def one_epoch(carry, xs):
+            (variables, opt_state, key, cur_lr, active, sbest, nbad,
+             bval, best_vars) = carry
+            perm, do_val = xs
+
+            # run the epoch unconditionally; discard results when the
+            # run has already early-stopped (masked select below)
+            v_new, o_new, key_new = variables, opt_state, key
+            losses = []
+            if n_full:
+                idx = perm[:n_full * batch_size].reshape(n_full,
+                                                         batch_size)
+                key_new, sub = jax.random.split(key_new)
+                v_new, o_new, full_losses = train_epoch_full(
+                    v_new, o_new, lr_train_d, hr_train_d, idx, sub)
+                losses.append(full_losses)
+            if n_rem:
+                idx = perm[n_full * batch_size:]
+                key_new, sub = jax.random.split(key_new)
+                v_new, o_new, rem_loss = train_step(
+                    v_new, o_new, lr_train_d, hr_train_d, idx, sub)
+                losses.append(rem_loss[None])
+            tr_loss = jnp.mean(jnp.concatenate(losses))
+            vloss, _ = eval_step(v_new, lr_val, hr_val)
+
+            act = active > 0
+            upd = act & (do_val > 0)
+            # torch ReduceLROnPlateau(mode='min') — PlateauScheduler.step
+            is_better = vloss < sbest * (1.0 - plateau_threshold)
+            sbest2 = jnp.where(is_better, vloss, sbest)
+            nbad2 = jnp.where(is_better, 0, nbad + 1)
+            decay = nbad2 > patience
+            lr2 = jnp.where(decay, cur_lr * plateau_factor, cur_lr)
+            nbad2 = jnp.where(decay, 0, nbad2)
+            sbest2 = jnp.where(upd, sbest2, sbest)
+            nbad2 = jnp.where(upd, nbad2, nbad)
+            lr2 = jnp.where(upd, lr2, cur_lr)
+            o_new = set_lr(o_new, lr2)
+
+            improved = upd & (vloss < bval)
+            bval2 = jnp.where(improved, vloss, bval)
+            best2 = masked_select(improved, v_new, best_vars)
+            active2 = jnp.where(upd & (lr2 < min_lr_stop), 0.0, active)
+
+            variables = masked_select(act, v_new, variables)
+            opt_state = masked_select(act, o_new, opt_state)
+            # keys advance only while active (matches the host loop's
+            # per-epoch split choreography)
+            key = masked_select(act, key_new, key)
+            # ``active`` at epoch START = the epochs the host loop logs
+            hist = (tr_loss, vloss, lr2, active)
+            return (variables, opt_state, key, lr2, active2, sbest2,
+                    nbad2, bval2, best2), hist
+
+        carry, hists = jax.lax.scan(one_epoch, carry, (perms_c, do_val_c))
+        return carry, hists
+
+    return jax.jit(run_chunk), tx
 
 
 def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
@@ -132,7 +246,9 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
                 weight_decay: float = 0.01,
                 criterion: Callable = mse_criterion,
                 min_lr_stop: float = 1e-5, seed: int = 0,
-                verbose: bool = False, logger=None):
+                verbose: bool = False, logger=None,
+                host_control: bool = False,
+                control_chunk_epochs: int = 25):
     """Train a batched flax model; returns
     (train_hist, val_hist, lr_hist, best_variables) with the model's best
     validation state restored, mirroring the reference's return contract
@@ -147,40 +263,121 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
     lr_val = device_put_fast(np.asarray(lr_val, dtype=np.float32))
     hr_val = device_put_fast(np.asarray(hr_val, dtype=np.float32))
 
-    mutable_cols = tuple(k for k in variables if k != "params")
-
-    scheduler = PlateauScheduler(lr, patience=patience,
-                                 factor=plateau_factor,
-                                 threshold=plateau_threshold)
-
-    def tx_factory(learning_rate):
-        return optax.chain(
-            optax.clip_by_global_norm(clip_norm),
-            optax.adamw(learning_rate=learning_rate, b1=0.9, b2=0.999,
-                        eps=1e-8, weight_decay=weight_decay))
-
-    cur_lr = lr
-    # lr is optimizer STATE (inject_hyperparams): plateau decays update a
-    # traced scalar instead of rebuilding + re-jitting the step programs
-    tx = optax.inject_hyperparams(tx_factory)(learning_rate=cur_lr)
-    opt_state = tx.init(variables["params"])
-    train_step, train_epoch_full, eval_step = _make_step_fns(
-        model, tx, criterion, mutable_cols)
+    mutable_cols = tuple(sorted(k for k in variables if k != "params"))
 
     n = len(np.asarray(lr_train))
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
+    n_full = n // batch_size
 
+    def validate_flag(epoch):
+        return ((epoch + 1) % validate_every == 0
+                or (epoch + 1) == num_epochs)
+
+    if host_control:
+        def tx_factory(learning_rate):
+            return optax.chain(
+                optax.clip_by_global_norm(clip_norm),
+                optax.adamw(learning_rate=learning_rate, b1=0.9,
+                            b2=0.999, eps=1e-8,
+                            weight_decay=weight_decay))
+
+        tx = optax.inject_hyperparams(tx_factory)(learning_rate=lr)
+        opt_state = tx.init(variables["params"])
+        train_step, train_epoch_full, eval_step = _make_step_fns(
+            model, tx, criterion, mutable_cols)
+        return _train_model_host(
+            model, variables, opt_state, tx, train_step, train_epoch_full,
+            eval_step, lr_train_d, hr_train_d, lr_val, hr_val, num_epochs,
+            lr, batch_size, validate_flag, patience, plateau_threshold,
+            plateau_factor, min_lr_stop, rng, key, n, n_full, verbose,
+            logger)
+
+    # ---- on-device control (default) ----------------------------------
+    chunk_fn, tx = _build_device_control_program(
+        model, criterion, mutable_cols, float(lr), int(batch_size),
+        int(n), int(patience), float(plateau_threshold),
+        float(plateau_factor), float(clip_norm), float(weight_decay),
+        float(min_lr_stop))
+    opt_state = tx.init(variables["params"])
+    carry = (variables, opt_state, key,
+             jnp.asarray(lr, jnp.float32),
+             jnp.asarray(1.0, jnp.float32),
+             jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, jnp.float32),
+             variables)
+    hist_parts, val_flags = [], []
+    done = 0
+    while done < num_epochs:
+        chunk = min(control_chunk_epochs, num_epochs - done)
+        perms = np.stack([rng.permutation(n).astype(np.int32)
+                          for _ in range(chunk)])
+        flags = np.asarray([1.0 if validate_flag(done + e) else 0.0
+                            for e in range(chunk)], np.float32)
+        carry, hists_c = chunk_fn(carry, jnp.asarray(perms),
+                                  jnp.asarray(flags), lr_train_d,
+                                  hr_train_d, lr_val, hr_val)
+        hist_parts.append(hists_c)
+        val_flags.append(flags)
+        done += chunk
+        if float(carry[4]) == 0.0:  # ONE scalar pull per chunk
+            break
+
+    tr_h, v_h, lr_h, act_h = (np.concatenate(
+        [np.asarray(h[i]) for h in hist_parts]) for i in range(4))
+    flags = np.concatenate(val_flags)[:len(tr_h)]
+    (variables, _, _, _, _, _, _, bval_d, best_vars) = carry
+
+    mask = act_h > 0
+    train_hist = [float(x) for x in tr_h[mask]]
+    vmask = mask & (flags > 0)
+    val_hist = [float(x) for x in v_h[vmask]]
+    lr_hist = [float(x) for x in lr_h[vmask]]
+    if logger is not None or verbose:
+        vi = 0
+        for e in range(int(mask.sum())):
+            vloss = val_hist[vi] if flags[e] > 0 else None
+            cur = lr_hist[vi] if flags[e] > 0 else (
+                lr_hist[vi - 1] if vi else lr)
+            if flags[e] > 0:
+                vi += 1
+            if logger is not None:
+                logger.log("epoch", epoch=e + 1, train_loss=train_hist[e],
+                           val_loss=vloss, lr=cur)
+            if verbose:
+                print(f"epoch {e + 1}: train {train_hist[e]:.6f} "
+                      f"val {vloss if vloss is not None else float('nan'):.6f} "
+                      f"lr {cur:.2e}")
+
+    # NaN-robust fallback mirroring the host loop: if no epoch ever
+    # improved (bval still inf), keep the final variables
+    if np.isfinite(float(bval_d)):
+        variables = best_vars
+    return train_hist, val_hist, lr_hist, variables
+
+
+def _train_model_host(model, variables, opt_state, tx, train_step,
+                      train_epoch_full, eval_step, lr_train_d, hr_train_d,
+                      lr_val, hr_val, num_epochs, lr, batch_size,
+                      validate_flag, patience, plateau_threshold,
+                      plateau_factor, min_lr_stop, rng, key, n, n_full,
+                      verbose, logger):
+    """Legacy per-epoch host-control loop (one device pull per epoch)."""
+    train_step = jax.jit(train_step)
+    train_epoch_full = jax.jit(train_epoch_full)
+    eval_step = jax.jit(eval_step)
+    scheduler = PlateauScheduler(lr, patience=patience,
+                                 factor=plateau_factor,
+                                 threshold=plateau_threshold)
+    cur_lr = lr
     train_hist, val_hist, lr_hist = [], [], []
     best_val = float("inf")
     best_variables = None
 
-    n_full = n // batch_size
-
     for epoch in range(num_epochs):
         order = rng.permutation(n)
-        validate = ((epoch + 1) % validate_every == 0
-                    or (epoch + 1) == num_epochs)
+        validate = validate_flag(epoch)
         # dispatch every program of the epoch WITHOUT blocking, then pull
         # all scalars in one device round trip — the loop is otherwise
         # tunnel-latency-bound at ~1 s/epoch (3 blocking pulls)

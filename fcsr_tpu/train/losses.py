@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 __all__ = ["l1", "gsr_composite_loss", "offdiag_mse_loss",
@@ -31,6 +33,7 @@ def gsr_composite_loss(pred, net_outs, start_gcn_outs, gsr_weights,
     return loss, recon
 
 
+@functools.lru_cache(maxsize=16)
 def make_triu_mse_criterion(n_out: int):
     """Criterion computing the dense-matrix MSE of a symmetric-from-triu
     prediction ENTIRELY in vector space.

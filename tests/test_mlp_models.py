@@ -154,3 +154,87 @@ def test_triu_mse_criterion_matches_matrix_mse(rng):
         np.asarray(target)))))
     np.testing.assert_allclose(got_dense, want, rtol=1e-6)
     np.testing.assert_allclose(got_packed, want, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_model_device_control_matches_host_control(rng):
+    """The generic loop's on-device control (plateau scheduler,
+    best-state, early stop as scan carry) must make exactly the
+    host-control loop's decisions: same epochs run, same decay epochs,
+    matching histories and best params. Aggressive plateau settings
+    force decays + early stop so the control logic is exercised; the
+    model has dropout AND BatchNorm, so the key choreography and
+    batch_stats threading are exercised too."""
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    from fcsr_tpu.data.synthetic import synthesize_teacher_connectomes
+    from fcsr_tpu.train.generic_loop import train_model
+    from fcsr_tpu.train.losses import (make_triu_mse_criterion,
+                                       pack_triu_targets)
+
+    lr, hr = synthesize_teacher_connectomes(40, lr_dim=20, hr_dim=32,
+                                            seed=3)
+    r_in, c_in = triu_indices_rowmajor(20)
+    x = lr[:, r_in, c_in]
+    y = pack_triu_targets(hr)
+    model = SpectralResMLP(num_nodes_input=20, num_nodes_output=32,
+                           num_hidden=26, n_layers=1, output="vector")
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           np.zeros((2, 20, 20), np.float32))
+    kw = dict(num_epochs=14, lr=0.05, batch_size=8, seed=5,
+              criterion=make_triu_mse_criterion(32), patience=1,
+              plateau_threshold=0.5, plateau_factor=0.05)
+    th, vh, lh, bv = train_model(model, variables, x[:30], y[:30],
+                                 x[30:], y[30:],
+                                 control_chunk_epochs=5, **kw)
+    th2, vh2, lh2, bv2 = train_model(model, variables, x[:30], y[:30],
+                                     x[30:], y[30:],
+                                     host_control=True, **kw)
+    assert len(th) == len(th2) and len(vh) == len(vh2)
+    np.testing.assert_allclose(th, th2, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(vh, vh2, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(lh, lh2, rtol=1e-6)
+    dec = [i for i in range(1, len(lh)) if lh[i] != lh[i - 1]]
+    dec2 = [i for i in range(1, len(lh2)) if lh2[i] != lh2[i - 1]]
+    assert dec == dec2 and len(dec) >= 1  # decays really fired
+    f1 = np.asarray(ravel_pytree(bv)[0])
+    f2 = np.asarray(ravel_pytree(bv2)[0])
+    # ~0.1% of params drift to ~2e-4: AdamW rsqrt amplifies last-ulp
+    # fusion differences between the scan-embedded and standalone
+    # compiles (histories above are tight)
+    np.testing.assert_allclose(f1, f2, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_train_model_validate_every(rng):
+    """validate_every > 1 under on-device control: val/lr histories have
+    one entry per validate epoch and the final epoch is always
+    validated (reference semantics, utils/training.py:114)."""
+    import jax
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    from fcsr_tpu.data.synthetic import synthesize_teacher_connectomes
+    from fcsr_tpu.train.generic_loop import train_model
+    from fcsr_tpu.train.losses import (make_triu_mse_criterion,
+                                       pack_triu_targets)
+
+    lr, hr = synthesize_teacher_connectomes(24, lr_dim=20, hr_dim=32,
+                                            seed=4)
+    r_in, c_in = triu_indices_rowmajor(20)
+    x = lr[:, r_in, c_in]
+    y = pack_triu_targets(hr)
+    model = SpectralResMLP(num_nodes_input=20, num_nodes_output=32,
+                           num_hidden=26, output="vector")
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           np.zeros((2, 20, 20), np.float32))
+    th, vh, lh, _ = train_model(model, variables, x[:18], y[:18],
+                                x[18:], y[18:], num_epochs=5,
+                                validate_every=2, batch_size=6,
+                                criterion=make_triu_mse_criterion(32),
+                                seed=1)
+    assert len(th) == 5
+    assert len(vh) == 3 == len(lh)  # epochs 2, 4 and the final 5th
