@@ -31,6 +31,7 @@ from typing import Dict, Mapping
 import numpy as np
 
 __all__ = ["flax_to_reference_state", "reference_state_to_flax",
+           "gat_reference_state_to_flax", "flax_to_gat_reference_state",
            "N_UNET_LEVELS"]
 
 N_UNET_LEVELS = 4  # len(ks) in the shipped config (training_gsr.ipynb)
@@ -93,3 +94,83 @@ def reference_state_to_flax(state: Mapping[str, np.ndarray],
         "gc1": {"weight": arr("gc1.weight")},
         "gc2": {"weight": arr("gc2.weight")},
     }}
+
+
+# ---------------------------------------------------------------------------
+# GAT Graph-U-Net family (ref: unet-transformer.py:264-428)
+# ---------------------------------------------------------------------------
+# Reference torch names (with PyG-GATConv submodule ``gat``):
+#   {down_gcns,up_gcns}.{i}.gat.lin.weight   (heads*d_head, in)  bias-free
+#   ....gat.att_src / att_dst                (1, heads, d_head)
+#   ....gat.bias                             (heads*d_head,)
+#   bottom_gcn.gat.*                         (heads=2)
+#   pools.{i}.proj.{weight,bias}             Linear(in, 1)
+#   upsampler.upsample_mlp.{weight,bias}     Linear(n_nodes, m_nodes)
+# NOTE the reference reverses its up_gcns ModuleList after construction
+# (ref: unet-transformer.py:293), so torch ``up_gcns.{i}`` and our flax
+# ``up_gcns_{i}`` already agree in execution order — no index remap.
+# Our DenseGAT stores w (in, heads*d_head), att_src/att_dst (heads,
+# d_head), bias (heads*d_head,) — models/gat_unet.py::DenseGAT.
+
+
+def _gat_layer_names(state: Mapping) -> list:
+    n_levels = sum(1 for k in state
+                   if k.startswith("down_gcns.") and k.endswith(".gat.bias"))
+    names = []
+    for i in range(n_levels):
+        names.append((f"down_gcns.{i}.gat", f"down_gcns_{i}"))
+        names.append((f"up_gcns.{i}.gat", f"up_gcns_{i}"))
+    names.append(("bottom_gcn.gat", "bottom_gcn"))
+    return names
+
+
+def gat_reference_state_to_flax(state: Mapping[str, np.ndarray],
+                                dtype=np.float32):
+    """Reference GraphUnet ``state_dict`` (numpy-valued) -> our
+    GATGraphUnet flax param tree."""
+    def arr(key):
+        return np.asarray(state[key], dtype=dtype)
+
+    tree = {}
+    for tname, fname in _gat_layer_names(state):
+        tree[fname] = {
+            "w": arr(f"{tname}.lin.weight").T,
+            "att_src": arr(f"{tname}.att_src")[0],
+            "att_dst": arr(f"{tname}.att_dst")[0],
+            "bias": arr(f"{tname}.bias"),
+        }
+    n_levels = sum(1 for k in state
+                   if k.startswith("pools.") and k.endswith(".proj.bias"))
+    for i in range(n_levels):
+        tree[f"pools_{i}"] = {"proj": {
+            "kernel": arr(f"pools.{i}.proj.weight").T,
+            "bias": arr(f"pools.{i}.proj.bias")}}
+    tree["upsampler"] = {"upsample_mlp": {
+        "kernel": arr("upsampler.upsample_mlp.weight").T,
+        "bias": arr("upsampler.upsample_mlp.bias")}}
+    return {"params": tree}
+
+
+def flax_to_gat_reference_state(params) -> Dict[str, np.ndarray]:
+    """Inverse of gat_reference_state_to_flax (round-trip tested)."""
+    p = params["params"]
+    out: Dict[str, np.ndarray] = {}
+    n_levels = sum(1 for k in p if k.startswith("down_gcns_"))
+    pairs = [(f"down_gcns_{i}", f"down_gcns.{i}.gat")
+             for i in range(n_levels)]
+    pairs += [(f"up_gcns_{i}", f"up_gcns.{i}.gat") for i in range(n_levels)]
+    pairs.append(("bottom_gcn", "bottom_gcn.gat"))
+    for fname, tname in pairs:
+        lv = p[fname]
+        out[f"{tname}.lin.weight"] = np.asarray(lv["w"]).T
+        out[f"{tname}.att_src"] = np.asarray(lv["att_src"])[None]
+        out[f"{tname}.att_dst"] = np.asarray(lv["att_dst"])[None]
+        out[f"{tname}.bias"] = np.asarray(lv["bias"])
+    for i in range(n_levels):
+        proj = p[f"pools_{i}"]["proj"]
+        out[f"pools.{i}.proj.weight"] = np.asarray(proj["kernel"]).T
+        out[f"pools.{i}.proj.bias"] = np.asarray(proj["bias"])
+    up = p["upsampler"]["upsample_mlp"]
+    out["upsampler.upsample_mlp.weight"] = np.asarray(up["kernel"]).T
+    out["upsampler.upsample_mlp.bias"] = np.asarray(up["bias"])
+    return out

@@ -107,3 +107,74 @@ def test_transplant_trajectory_parity_smoke():
     assert rel.max() < 2e-3, f"max relative loss delta {rel.max()}"
     # the north-star acceptance criterion
     assert abs(ref_mae - our_mae) < 1e-3, (ref_mae, our_mae)
+
+
+@needs_reference
+@pytest.mark.slow
+def test_gat_transplant_forward_bitwise():
+    """The GAT family's transplant smoke: the ACTUAL reference GraphUnet
+    (imported from /root/reference/unet-transformer.py through the
+    plain-torch PyG shim) and our flax GATGraphUnet produce a
+    BITWISE-equal forward from transplanted weights and identical SVD
+    features."""
+    import sys
+
+    import jax
+    import torch
+
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, tools_dir)
+    mod = _tools()._reference_unet_module()
+
+    from fcsr_tpu.iox.torch_interop import (flax_to_gat_reference_state,
+                                            gat_reference_state_to_flax)
+    from fcsr_tpu.train.gat_loop import GATTrainConfig
+
+    torch.manual_seed(0)
+    tm = mod.GraphUnet(ks=[0.5, 0.5, 0.5], n_nodes=160, m_nodes=268,
+                       dim=16, act=torch.relu, drop_p=0.0)
+    tm.eval()
+    state = {k: v.detach().numpy().copy()
+             for k, v in tm.state_dict().items()}
+
+    rng = np.random.default_rng(0)
+    a = rng.random((160, 160)).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    at = torch.from_numpy(a)
+    an = mod.symmetric_normalize(at + torch.eye(160))
+    u, _, _ = torch.svd(an)
+    x = u[:, :16]
+    with torch.no_grad():
+        out_t, _, _ = tm.forward(A=at, X=x)
+
+    model = GATTrainConfig(drop_p=0.0).model()
+    variables = gat_reference_state_to_flax(state)
+    out_j, _, _ = model.apply(
+        {"params": jax.tree.map(np.asarray, variables["params"])},
+        np.asarray(a), x=np.asarray(x.numpy()), train=False)
+    np.testing.assert_array_equal(np.asarray(out_j), out_t.numpy())
+
+    # the converter round-trips exactly and the key set matches the
+    # real torch model's state_dict (transplants load strict)
+    rt = flax_to_gat_reference_state(variables)
+    assert set(rt) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(rt[k], state[k])
+
+
+@needs_reference
+@pytest.mark.slow
+def test_gat_transplant_trajectory_smoke():
+    """2 epochs x 8 subjects through BOTH implementations' shipped
+    training semantics from one transplanted init: epoch losses and
+    final val MAE must agree to float32-trajectory tolerance."""
+    import types
+
+    mod = _tools()
+    args = types.SimpleNamespace(epochs=2, n=12, lr=1e-3, tpu=False,
+                                 f64=False)
+    report = mod.run_gat_transplant(args)
+    assert report["first_epoch_loss_delta"] < 1e-5
+    assert report["train_loss_delta_max"] < 1e-3
+    assert report["final_val_mae_delta"] < 1e-3

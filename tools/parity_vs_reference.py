@@ -359,6 +359,247 @@ def run_ref_self_check(args):
     return report
 
 
+# ---------------------------------------------------------------------------
+# GAT family transplant (--family gat)
+# ---------------------------------------------------------------------------
+
+def _reference_unet_module():
+    """Import the ACTUAL reference ``unet-transformer.py`` (the filename
+    is not an importable identifier) with the plain-torch PyG shim
+    (tools/pyg_shim.py) standing in for torch_geometric."""
+    import importlib.util
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyg_shim
+    pyg_shim.install()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet_transformer", os.path.join(REFERENCE,
+                                             "unet-transformer.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def torch_gat_features(mod, stack, dim, f64=False):
+    """SVD node features exactly as the reference forward builds them
+    (ref: unet-transformer.py:313-317,324-329): torch.svd of the
+    normalized (A + I). Exported once and fed to BOTH implementations so
+    SVD-backend sign/ordering conventions drop out of the comparison."""
+    import numpy as np
+    import torch
+
+    tdt = torch.float64 if f64 else torch.float32
+    feats = []
+    for m in stack:
+        a = torch.from_numpy(np.asarray(m)).to(tdt)
+        a = a + torch.eye(a.shape[0], dtype=tdt)
+        a = mod.symmetric_normalize(a)
+        u, _, _ = torch.svd(a)
+        feats.append(u[:, :dim].numpy())
+    return np.stack(feats)
+
+
+def run_gat_reference_transplant(mod, data, feats_tr, feats_va, epochs,
+                                 lr, n_train, n_val, f64=False):
+    """Instrumented reference GAT training: the shipped train_model
+    semantics (AdamW wd=0.01, ReduceLROnPlateau(patience=10, thr=1e-2,
+    factor=0.1), per-sample steps, early stop lr<1e-5 — ref:
+    unet-transformer.py:100-195) with a FIXED sample order and injected
+    node features. drop_p=0 for determinism. Returns (init_state,
+    train_hist, val_hist, mae_hist, final_state)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    tdt = torch.float64 if f64 else torch.float32
+    if f64:
+        # forward builds torch.eye in the default dtype
+        # (ref: unet-transformer.py:324)
+        torch.set_default_dtype(torch.float64)
+    torch.manual_seed(0)
+    model = mod.GraphUnet(ks=[0.5, 0.5, 0.5], n_nodes=160, m_nodes=268,
+                          dim=16, act=torch.relu, drop_p=0.0)
+    if f64:
+        model.double()
+    init_state = {k: v.detach().numpy().copy()
+                  for k, v in model.state_dict().items()}
+    opt = torch.optim.AdamW(model.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", patience=10, threshold=1e-2, factor=0.1)
+
+    tr_lr = [torch.from_numpy(m).to(tdt)
+             for m in data["lr_train"][:n_train]]
+    tr_hr = [torch.from_numpy(m).to(tdt)
+             for m in data["hr_train"][:n_train]]
+    va_lr = [torch.from_numpy(m).to(tdt)
+             for m in data["lr_train"][n_train:n_train + n_val]]
+    va_hr = [torch.from_numpy(m).to(tdt)
+             for m in data["hr_train"][n_train:n_train + n_val]]
+    x_tr = [torch.from_numpy(f).to(tdt) for f in feats_tr]
+    x_va = [torch.from_numpy(f).to(tdt) for f in feats_va]
+
+    train_hist, val_hist, mae_hist = [], [], []
+    for _ in range(epochs):
+        model.train()
+        ep = 0.0
+        for j in range(n_train):
+            opt.zero_grad()
+            out, a_hist, a_recon = model.forward(A=tr_lr[j], X=x_tr[j])
+            l = mod.loss(out, tr_hr[j], a_hist, a_recon,
+                         intermediate_losses=True)
+            l.backward()
+            opt.step()
+            ep += l.item()
+        train_hist.append(ep / n_train)
+
+        model.eval()
+        vl = vm = 0.0
+        with torch.no_grad():
+            for j in range(n_val):
+                out, a_hist, a_recon = model.forward(A=va_lr[j],
+                                                     X=x_va[j])
+                vl += mod.loss(out, va_hr[j], a_hist, a_recon,
+                               True).item()
+                a = out - torch.diag(torch.diag(out))
+                at = va_hr[j] - torch.diag(torch.diag(va_hr[j]))
+                vm += F.l1_loss(a, at).item()
+        val_hist.append(vl / n_val)
+        mae_hist.append(vm / n_val)
+        sched.step(val_hist[-1])
+        if mod.get_lr(opt) < 1e-5:
+            break
+
+    final_state = {k: v.detach().numpy().copy()
+                   for k, v in model.state_dict().items()}
+    if f64:
+        torch.set_default_dtype(torch.float32)
+    return init_state, train_hist, val_hist, mae_hist, final_state
+
+
+def run_gat_ours_transplant(data, init_state, feats_tr, feats_va, epochs,
+                            lr, n_train, n_val, f64=False):
+    """Our shipped GAT epoch/val programs (train/gat_loop._make_epoch_fn)
+    trained from the transplanted torch init through the same schedule:
+    fixed order, PlateauScheduler, AdamW wd=0.01, early stop lr<1e-5."""
+    import jax
+    if f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from fcsr_tpu.iox.torch_interop import (flax_to_gat_reference_state,
+                                            gat_reference_state_to_flax)
+    from fcsr_tpu.train.gat_loop import GATTrainConfig, _make_epoch_fn
+    from fcsr_tpu.train.generic_loop import PlateauScheduler
+
+    dt = jnp.float64 if f64 else jnp.float32
+    cfg = GATTrainConfig(epochs=epochs, lr=lr, drop_p=0.0)
+    model = cfg.model()
+    params = jax.tree.map(
+        jnp.asarray,
+        gat_reference_state_to_flax(init_state,
+                                    dtype=np.float64 if f64
+                                    else np.float32)["params"])
+    tx = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    opt_state = tx.init(params)
+    epoch_fn, val_fn = _make_epoch_fn(model, tx, cfg)
+
+    lr_tr = jnp.asarray(data["lr_train"][:n_train], dt)
+    hr_tr = jnp.asarray(data["hr_train"][:n_train], dt)
+    lr_va = jnp.asarray(data["lr_train"][n_train:n_train + n_val], dt)
+    hr_va = jnp.asarray(data["hr_train"][n_train:n_train + n_val], dt)
+    x_tr = jnp.asarray(feats_tr, dt)
+    x_va = jnp.asarray(feats_va, dt)
+
+    order = jnp.arange(n_train, dtype=jnp.int32)
+    sched = PlateauScheduler(lr, patience=cfg.patience, factor=0.1,
+                             threshold=1e-2)
+    key = jax.random.PRNGKey(0)  # drop_p=0: stream never touches math
+    cur_lr = lr
+    train_hist, val_hist, mae_hist = [], [], []
+    for _ in range(epochs):
+        params, opt_state, key, tr_loss = epoch_fn(
+            params, opt_state, lr_tr, hr_tr, x_tr, order, key)
+        v_loss, v_mae = val_fn(params, lr_va, hr_va, x_va)
+        train_hist.append(float(tr_loss))
+        val_hist.append(float(v_loss))
+        mae_hist.append(float(v_mae))
+        new_lr = sched.step(float(v_loss))
+        if new_lr != cur_lr:
+            cur_lr = new_lr
+            opt_state = opt_state._replace(hyperparams={
+                **opt_state.hyperparams,
+                "learning_rate": jnp.asarray(cur_lr, jnp.float32)})
+        if cur_lr < 1e-5:
+            break
+
+    final_state = flax_to_gat_reference_state(
+        {"params": jax.tree.map(np.asarray, params)})
+    return train_hist, val_hist, mae_hist, final_state
+
+
+def run_gat_transplant(args):
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from fcsr_tpu.data import load_or_synthesize
+
+    n_train = args.n * 2 // 3
+    n_val = args.n - n_train
+    data = load_or_synthesize(None, n_train=args.n, n_test=1, seed=42,
+                              flavor="lift")
+
+    if args.f64:
+        data = {k: np.asarray(v, dtype=np.float64)
+                for k, v in data.items()}
+    mod = _reference_unet_module()
+    feats_tr = torch_gat_features(mod, data["lr_train"][:n_train], 16,
+                                  f64=args.f64)
+    feats_va = torch_gat_features(
+        mod, data["lr_train"][n_train:n_train + n_val], 16, f64=args.f64)
+
+    init_state, ref_tr, ref_val, ref_mae, ref_final = \
+        run_gat_reference_transplant(mod, data, feats_tr, feats_va,
+                                     args.epochs, args.lr, n_train, n_val,
+                                     f64=args.f64)
+    our_tr, our_val, our_mae, our_final = run_gat_ours_transplant(
+        data, init_state, feats_tr, feats_va, args.epochs, args.lr,
+        n_train, n_val, f64=args.f64)
+
+    n_ep = min(len(ref_tr), len(our_tr))
+    d_tr = np.abs(np.asarray(ref_tr[:n_ep]) - np.asarray(our_tr[:n_ep]))
+    d_val = np.abs(np.asarray(ref_val[:n_ep]) - np.asarray(our_val[:n_ep]))
+    wdelta = {k: float(np.max(np.abs(
+        ref_final[k].astype(np.float64) - our_final[k].astype(np.float64))))
+        for k in ref_final}
+    report = {
+        "family": "gat",
+        "mode": "f64" if args.f64 else "f32",
+        "epochs_ref": len(ref_tr), "epochs_ours": len(our_tr),
+        "first_epoch_loss_ref": float(ref_tr[0]),
+        "first_epoch_loss_ours": float(our_tr[0]),
+        "first_epoch_loss_delta": abs(ref_tr[0] - our_tr[0]),
+        "train_loss_delta_max": float(d_tr.max()),
+        "val_loss_delta_max": float(d_val.max()),
+        "max_final_weight_delta": max(wdelta.values()),
+        "final_val_mae_ref": float(ref_mae[-1]),
+        "final_val_mae_ours": float(our_mae[-1]),
+        "final_val_mae_delta": abs(ref_mae[-1] - our_mae[-1]),
+    }
+    for k, v in report.items():
+        print(f"{k}: {v}")
+    print("\nper-parameter max |final delta| (top 6):")
+    for k in sorted(wdelta, key=wdelta.get, reverse=True)[:6]:
+        print(f"  {k}: {wdelta[k]:.3e}")
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
@@ -374,12 +615,17 @@ def main():
                          "accelerator instead of forcing CPU")
     ap.add_argument("--ref-self-check", action="store_true",
                     help="torch-f32 vs torch-f64 chaos control (no JAX)")
+    ap.add_argument("--family", default="gsr", choices=["gsr", "gat"],
+                    help="model family to compare (gat: transplant only)")
     args = ap.parse_args()
 
     if not os.path.isdir(REFERENCE):
         print("(reference checkout not present; nothing to compare)")
         return
 
+    if args.family == "gat":
+        run_gat_transplant(args)
+        return
     if args.ref_self_check:
         run_ref_self_check(args)
         return
