@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fcsr_tpu.core.normalize import unpad
 from fcsr_tpu.train.losses import gsr_composite_loss
 
-__all__ = ["batch_mesh", "shard_batch", "make_sharded_batch_step"]
+__all__ = ["batch_mesh", "shard_batch", "make_sharded_batch_step",
+           "make_sharded_generic_step"]
 
 
 def batch_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -73,5 +74,42 @@ def make_sharded_batch_step(model, tx: optax.GradientTransformation,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, err
+
+    return step
+
+
+def make_sharded_generic_step(model, tx: optax.GradientTransformation,
+                              mesh: Mesh, criterion):
+    """Data-parallel training step for any batched flax model (the MLP
+    family's multi-chip path): variables/opt-state replicated, the
+    (batch, ...) inputs/targets sharded over 'batch'; mean-loss
+    gradients all-reduce with one psum on ICI. Mutable collections
+    (BatchNorm/SpectralNorm stats) are computed in the single logical
+    program — sharding is layout, not semantics — so they stay
+    consistent across devices."""
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("batch"))
+
+    @partial(jax.jit,
+             in_shardings=(replicated, replicated, batch_sharded,
+                           batch_sharded, replicated),
+             out_shardings=(replicated, replicated, replicated),
+             donate_argnums=(0, 1))
+    def step(variables, opt_state, x_b, y_b, dropout_key):
+        params = variables["params"]
+        aux = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            outs = model.apply({"params": params, **aux}, x_b,
+                               train=True, mutable=list(aux),
+                               rngs={"dropout": dropout_key})
+            pred, new_aux = outs
+            return criterion(pred, y_b), new_aux
+
+        (loss, new_aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, **new_aux}, opt_state, loss
 
     return step
