@@ -114,13 +114,8 @@ def quality_gates(mean_mae, untrained_mae, *, is_synthetic, splits,
 
 
 def main():
-    import jax
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.cache/fcsr_jax"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from fcsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import numpy as np
 

@@ -155,6 +155,12 @@ def _finish(args, result, submission_name, ordering="colmajor"):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # AOT-persist compiled programs across processes: first-ever compiles
+    # are slow on the TPU compile service (utils/compile_cache.py), every
+    # later cold start reuses them from disk.
+    from fcsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     if args.cmd == "train":
         from fcsr_tpu.utils import set_seed
         set_seed(args.seed)

@@ -22,6 +22,33 @@ def test_device_put_fast_roundtrip(rng):
         np.testing.assert_array_equal(to_host(d), x)
 
 
+def test_persistent_compile_cache(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at an on-disk cache (works on
+    the CPU backend too), is idempotent, and honors the kill switch."""
+    import fcsr_tpu.utils.compile_cache as cc
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_flag = cc._ENABLED
+    cache = str(tmp_path / "cache")
+    try:
+        cc._ENABLED = False
+        monkeypatch.setenv("FCSR_NO_COMPILE_CACHE", "1")
+        assert cc.enable_persistent_cache(cache) is None
+
+        monkeypatch.delenv("FCSR_NO_COMPILE_CACHE")
+        assert cc.enable_persistent_cache(cache) == cache
+        assert cc.enable_persistent_cache(cache) == cache  # idempotent
+        x = jax.jit(lambda v: v * 2 + 1)(np.arange(4, dtype=np.float32))
+        np.testing.assert_array_equal(np.asarray(x), [1, 3, 5, 7])
+        assert os.path.isdir(cache) and len(os.listdir(cache)) >= 1
+    finally:
+        cc._ENABLED = prev_flag
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+
+
 def test_metric_logger(tmp_path):
     path = str(tmp_path / "log.jsonl")
     log = MetricLogger(path)
