@@ -148,9 +148,15 @@ def _blockdiag_cols(att):
 
 
 def _gat_layer(w, att_src, att_dst, bias_row, a, x, heads: int,
-               drop_mask=None, drop_p: float = 0.0):
+               drop_mask=None, drop_p: float = 0.0,
+               batched_chain: bool = False):
     """Dense masked multi-head attention, PyG GATConv semantics
-    (models/gat_unet.py::DenseGAT) in pure 2-D ops."""
+    (models/gat_unet.py::DenseGAT) in pure 2-D ops.
+
+    ``batched_chain`` runs all heads' elementwise softmax chain as ONE
+    (n, heads*n) chain (see _gat_layer_batched) — mathematically
+    identical, FP-reassociation-level different (row-global softmax
+    max instead of per-head)."""
     n = x.shape[0]
     d_head = w.shape[1] // heads
     h = _mm(x, w)                                     # (n, heads*d)
@@ -159,6 +165,9 @@ def _gat_layer(w, att_src, att_dst, bias_row, a, x, heads: int,
     t_all = _mm(h, _blockdiag_cols(att_dst))
     mask = (a != 0) | jnp.eye(n, dtype=bool)
     maskf = mask.astype(F32)
+    if batched_chain:
+        return _gat_layer_batched(h, s_all, t_all, bias_row, maskf,
+                                  heads, d_head, drop_mask, drop_p)
     outs = []
     for j in range(heads):
         h_j = h[:, j * d_head:(j + 1) * d_head]
@@ -181,6 +190,58 @@ def _gat_layer(w, att_src, att_dst, bias_row, a, x, heads: int,
     return out + _mm(_ones_col(n), bias_row)
 
 
+def _gat_layer_batched(h, s_all, t_all, bias_row, maskf, heads: int,
+                       d_head: int, drop_mask, drop_p: float):
+    """All heads' exp/mask/softmax elementwise chain as ONE (n, heads*n)
+    chain (VERDICT r3 item 7). Broadcast terms are built with tiny
+    block-indicator matmuls (Mosaic has no cheap lane-reshape):
+
+      rep (heads, heads*n): rep[j, j*n+k] = 1
+      E   (n, heads*n):     E[k', j*n+k] = (k' == k)  (tiled eye)
+
+      T_big = t_all @ rep                   # [i, jn+k] = t_all[i, j]
+      srow  = ones(1,n) @ ((s_all @ rep)*E) # [0, jn+k] = s_all[k, j]
+      S_big = ones(n,1) @ srow              # [i, jn+k] = s_all[k, j]
+
+    The softmax max is the row-global max over all heads (any per-row
+    constant cancels in the per-block ratio — same argument as
+    jax.nn.softmax's shift), so values match the per-head path to FP
+    reassociation, not bitwise. Denominators come back through the
+    same indicators: sums = e @ rep.T, D_big = sums @ rep."""
+    n = maskf.shape[0]
+    # indicators built in-trace from integer iota, not host np
+    # constants: pallas_call rejects captured non-scalar constants
+    # inside the Mosaic kernel.
+    col = jax.lax.broadcasted_iota(jnp.int32, (heads, heads * n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (heads, heads * n), 0)
+    rep = (col // n == row).astype(F32)               # (heads, heads*n)
+    colt = jax.lax.broadcasted_iota(jnp.int32, (n, heads * n), 1)
+    rowt = jax.lax.broadcasted_iota(jnp.int32, (n, heads * n), 0)
+    eye_tile = (colt % n == rowt).astype(F32)         # tiled eye
+    mask_big = jnp.concatenate([maskf] * heads, axis=1)
+
+    t_big = _mm(t_all, rep)                           # (n, heads*n)
+    srow = _mm(jnp.ones((1, n), F32), _mm(s_all, rep) * eye_tile)
+    s_big = _mm(_ones_col(n), srow)
+    z = s_big + t_big
+    z = jnp.where(z >= 0, z, 0.2 * z)
+    logits = jnp.where(mask_big > 0, z, -1e30)
+    zmax = jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+    e = jnp.exp(logits - zmax) * mask_big
+    sums = _mm(e, rep.T)                              # (n, heads)
+    alpha_big = e / _mm(sums, rep)
+    if drop_mask is not None:
+        keep = jnp.concatenate(
+            [drop_mask[j] for j in range(heads)]
+            if heads > 1 else [drop_mask], axis=1)
+        alpha_big = alpha_big * keep * (1.0 / (1.0 - drop_p))
+    outs = [_mm(alpha_big[:, j * n:(j + 1) * n],
+                h[:, j * d_head:(j + 1) * d_head])
+            for j in range(heads)]
+    out = jnp.concatenate(outs, axis=1)
+    return out + _mm(_ones_col(n), bias_row)
+
+
 def _symnorm(a, eps: float = 1e-5):
     d = jnp.sum(a, axis=-1) + eps
     r = jax.lax.rsqrt(d)
@@ -197,7 +258,7 @@ def _offdiag_mse(p, t):
 def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
                   n_nodes: int, m_nodes: int, heads: int,
                   intermediate_losses: bool = True, drop_p: float = 0.0,
-                  drop_masks=None):
+                  drop_masks=None, batched_chain: bool = False):
     """The full GAT U-Net training loss as a pure function of the
     canonical leaf list (no gathers, no SVD — everything Mosaic can
     lower). ``a0`` is the normalized (A + I) adjacency (data — staged
@@ -221,7 +282,8 @@ def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
     for i in range(L):
         w, asrc, adst, b = lv[f"down_gcns_{i}"]
         x = jax.nn.relu(_gat_layer(w, asrc, adst, b, a, x, heads,
-                                   dm(f"att_down_{i}"), drop_p))
+                                   dm(f"att_down_{i}"), drop_p,
+                                   batched_chain))
         a_hist.append(a)
         # pool: scores from (dropped) x, rank-select projection
         z = x
@@ -238,7 +300,7 @@ def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
 
     w, asrc, adst, b = lv["bottom_gcn"]
     x = jax.nn.relu(_gat_layer(w, asrc, adst, b, a, x, 2,
-                               dm("att_bottom"), drop_p))
+                               dm("att_bottom"), drop_p, batched_chain))
 
     recon = []
     for i in range(L):
@@ -246,7 +308,8 @@ def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
         x = _mm(P_list[up].T, x)                       # unpool
         w, asrc, adst, b = lv[f"up_gcns_{i}"]
         x = jax.nn.relu(_gat_layer(w, asrc, adst, b, a_hist[up], x,
-                                   heads, dm(f"att_up_{i}"), drop_p))
+                                   heads, dm(f"att_up_{i}"), drop_p,
+                                   batched_chain))
         recon.append(jax.nn.relu(_mm(x, x.T)))
 
     # upsampler: Dense(m) on X^T, row-softmax over features, relu(Y Y^T).
@@ -301,7 +364,8 @@ def _draw_masks(dim, ks, n_nodes, heads, drop_p):
 def _make_gat_train_kernel(dim: int, ks: tuple, n_nodes: int,
                            m_nodes: int, heads: int, intermediate: bool,
                            drop_p: float, b1: float, b2: float,
-                           eps: float, wd: float, interpret: bool):
+                           eps: float, wd: float, interpret: bool,
+                           batched_chain: bool):
     specs = _layer_specs(dim, ks, heads)
     L = len(ks)
     n_leaves = 4 * len(specs) + 2 * L + 2
@@ -337,7 +401,7 @@ def _make_gat_train_kernel(dim: int, ks: tuple, n_nodes: int,
                 leaves, a_ref[:], x_ref[:], hr_ref[:], dim=dim, ks=ks,
                 n_nodes=n_nodes, m_nodes=m_nodes, heads=heads,
                 intermediate_losses=intermediate, drop_p=drop_p,
-                drop_masks=masks)
+                drop_masks=masks, batched_chain=batched_chain)
 
         loss, grads = jax.value_and_grad(loss_fn)(p_leaves)
 
@@ -411,12 +475,15 @@ def gat_train_step_fused(p_leaves, m_leaves, v_leaves, a0, x0, hr,
                          intermediate_losses: bool = True,
                          drop_p: float = 0.0, b1: float = ADAM_B1,
                          b2: float = ADAM_B2, eps: float = 1e-8,
-                         wd: float = 0.01, interpret: bool = False):
+                         wd: float = 0.01, interpret: bool = False,
+                         batched_chain: bool = False):
     """One full GAT training step (fwd + bwd + masked AdamW) as ONE
     Mosaic kernel. ``scalars`` = f32 (1, 4) [[ok, lr, 1-b1^t, 1-b2^t]];
     ``seeds`` = int32 (1, 2) PRNG seed for the in-kernel dropout (unused
     when drop_p == 0). Returns (loss, p', m', v') in canonical leaf
-    order (gat_leaves_from_tree)."""
+    order (gat_leaves_from_tree). ``batched_chain`` switches the
+    per-head softmax elementwise chains to the single (n, heads*n)
+    formulation (_gat_layer_batched)."""
     for name, _, out_d, h in _layer_specs(int(dim), tuple(ks), int(heads)):
         if out_d % h:
             raise ValueError(
@@ -428,5 +495,6 @@ def gat_train_step_fused(p_leaves, m_leaves, v_leaves, a0, x0, hr,
                                 int(m_nodes), int(heads),
                                 bool(intermediate_losses), float(drop_p),
                                 float(b1), float(b2), float(eps),
-                                float(wd), bool(interpret))
+                                float(wd), bool(interpret),
+                                bool(batched_chain))
     return fn(p_leaves, m_leaves, v_leaves, a0, x0, hr, scalars, seeds)

@@ -59,6 +59,12 @@ class GATTrainConfig:
     # with drop_p > 0 trajectories are stochastically equivalent, not
     # bitwise. Measured on v5e: see PERF.md.
     fused_step: bool = False
+    # run all heads' softmax elementwise chains as one (n, heads*n)
+    # chain inside the fused kernel (models/fused_gat.py::
+    # _gat_layer_batched). Mathematically identical (row-global softmax
+    # shift cancels per block); FP-reassociation-level different.
+    # Measured on v5e: see PERF.md "GAT-specific kernel findings".
+    fused_batched_chain: bool = False
 
     def model(self) -> GATGraphUnet:
         return GATGraphUnet(ks=self.ks, n_nodes=self.n_nodes,
@@ -358,7 +364,8 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
         kwf = dict(dim=cfg.dim, ks=cfg.ks, n_nodes=cfg.n_nodes,
                    m_nodes=cfg.m_nodes, heads=cfg.heads,
                    intermediate_losses=cfg.intermediate_losses,
-                   drop_p=cfg.drop_p, wd=cfg.weight_decay)
+                   drop_p=cfg.drop_p, wd=cfg.weight_decay,
+                   batched_chain=cfg.fused_batched_chain)
 
         def leaves_of(flat):
             return gat_leaves_from_tree(unravel(flat), cfg.dim, cfg.ks,

@@ -28,22 +28,27 @@ import os
 __all__ = ["enable_persistent_cache"]
 
 _ENABLED = False
+_DIR: str | None = None
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Idempotently point jax at a persistent on-disk compilation cache.
 
     Returns the cache directory in use, or None when disabled via
-    ``FCSR_NO_COMPILE_CACHE=1``.
+    ``FCSR_NO_COMPILE_CACHE=1``. Re-invoking with a DIFFERENT directory
+    switches the cache: jax materializes its cache object lazily on
+    first use and then ignores later ``jax_compilation_cache_dir``
+    config updates, so a plain config update would silently keep
+    writing to the old directory — we reset the cache object too.
     """
-    global _ENABLED
+    global _ENABLED, _DIR
     if os.environ.get("FCSR_NO_COMPILE_CACHE") == "1":
         return None
     if cache_dir is None:
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.expanduser("~/.cache/fcsr_jax"))
-    if _ENABLED:
+    if _ENABLED and cache_dir == _DIR:
         return cache_dir
 
     import jax
@@ -52,5 +57,12 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything: tiny programs are numerous on the fold drivers
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if _ENABLED:  # dir change after first use: drop the live cache object
+        try:
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover - jax-internal API drift
+            pass
     _ENABLED = True
+    _DIR = cache_dir
     return cache_dir

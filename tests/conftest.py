@@ -18,6 +18,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persist XLA:CPU executables across test runs: the slow lane is
+# dominated by single-core compiles of trainer programs; the warm lane
+# reuses them from disk (see utils/compile_cache.py; disable with
+# FCSR_NO_COMPILE_CACHE=1 to measure true cold times).
+from fcsr_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.environ.get(
+    "FCSR_TEST_CACHE_DIR",
+    os.path.expanduser("~/.cache/fcsr_jax_tests")))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -65,6 +65,23 @@ def test_gat_step_loss_matches_model(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_batched_chain_matches_perhead(rng):
+    """The (n, heads*n) batched softmax chain (_gat_layer_batched) ==
+    the per-head chain: loss identical (row-global softmax shift
+    cancels per block), grads to FP-reassociation level."""
+    _, _, _, hr, x_feat, a0, leaves = _setup(rng)
+    f0 = lambda l: gat_step_loss(l, a0, x_feat, hr, **KW)
+    f1 = lambda l: gat_step_loss(l, a0, x_feat, hr, batched_chain=True,
+                                 **KW)
+    l0, g0 = jax.value_and_grad(f0)(leaves)
+    l1, g1 = jax.value_and_grad(f1)(leaves)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        scale = max(float(jnp.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=5e-5)
+
+
 @pytest.mark.slow
 def test_gat_kernel_interpret_matches_pure(rng):
     """Kernel (interpret): loss and implied grads (via the Adam moment

@@ -29,7 +29,7 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
 
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
-    prev_flag = cc._ENABLED
+    prev_flag, prev_cc_dir = cc._ENABLED, cc._DIR
     cache = str(tmp_path / "cache")
     try:
         cc._ENABLED = False
@@ -37,16 +37,23 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
         assert cc.enable_persistent_cache(cache) is None
 
         monkeypatch.delenv("FCSR_NO_COMPILE_CACHE")
+        # conftest already enabled a session-wide cache; switching to a
+        # fresh dir must take effect for the NEXT compile (jax's live
+        # cache object is reset on dir change).
+        cc._ENABLED = prev_flag
         assert cc.enable_persistent_cache(cache) == cache
         assert cc.enable_persistent_cache(cache) == cache  # idempotent
         x = jax.jit(lambda v: v * 2 + 1)(np.arange(4, dtype=np.float32))
         np.testing.assert_array_equal(np.asarray(x), [1, 3, 5, 7])
         assert os.path.isdir(cache) and len(os.listdir(cache)) >= 1
     finally:
-        cc._ENABLED = prev_flag
-        jax.config.update("jax_compilation_cache_dir", prev_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          prev_min)
+        cc._ENABLED, cc._DIR = False, None
+        if prev_flag and prev_cc_dir:  # re-point at the session cache
+            cc.enable_persistent_cache(prev_cc_dir)
+        else:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", prev_min)
 
 
 def test_metric_logger(tmp_path):
