@@ -51,8 +51,9 @@ from fcsr_tpu.core.mosaic_mm import mm_compensated as _mm
 from fcsr_tpu.models.fused_step import _topk_projection
 from fcsr_tpu.models.gat_unet import gat_pool_sizes
 
-__all__ = ["gat_step_loss", "gat_train_step_fused", "gat_leaves_from_tree",
-           "gat_tree_from_leaves", "gat_dims", "ADAM_B1", "ADAM_B2"]
+__all__ = ["gat_step_loss", "gat_train_step_fused", "gat_val_fused",
+           "gat_leaves_from_tree", "gat_tree_from_leaves", "gat_dims",
+           "ADAM_B1", "ADAM_B2"]
 
 F32 = jnp.float32
 
@@ -258,7 +259,8 @@ def _offdiag_mse(p, t):
 def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
                   n_nodes: int, m_nodes: int, heads: int,
                   intermediate_losses: bool = True, drop_p: float = 0.0,
-                  drop_masks=None, batched_chain: bool = False):
+                  drop_masks=None, batched_chain: bool = False,
+                  return_pred: bool = False):
     """The full GAT U-Net training loss as a pure function of the
     canonical leaf list (no gathers, no SVD — everything Mosaic can
     lower). ``a0`` is the normalized (A + I) adjacency (data — staged
@@ -326,6 +328,8 @@ def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
         # zip(a_hist, reversed(recon)) — ref: unet-transformer.py:468-474
         for l in range(L):
             loss = loss + _offdiag_mse(a_hist[l], recon[L - 1 - l])
+    if return_pred:
+        return loss, pred
     return loss
 
 
@@ -467,6 +471,73 @@ def _make_gat_train_kernel(dim: int, ks: tuple, n_nodes: int,
         return loss, p_new, m_new, v_new
 
     return run
+
+
+@functools.lru_cache(maxsize=8)
+def _make_gat_val_kernel(dim: int, ks: tuple, n_nodes: int, m_nodes: int,
+                         heads: int, intermediate: bool, interpret: bool,
+                         batched_chain: bool):
+    specs = _layer_specs(dim, ks, heads)
+    L = len(ks)
+    n_leaves = 4 * len(specs) + 2 * L + 2
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(*refs):
+        p_refs = refs[:n_leaves]
+        a_ref, x_ref, hr_ref, out_ref = refs[n_leaves:]
+        leaves = [r[:] for r in p_refs]
+        loss, pred = gat_step_loss(
+            leaves, a_ref[:], x_ref[:], hr_ref[:], dim=dim, ks=ks,
+            n_nodes=n_nodes, m_nodes=m_nodes, heads=heads,
+            intermediate_losses=intermediate, drop_p=0.0,
+            drop_masks=None, batched_chain=batched_chain,
+            return_pred=True)
+        hr = hr_ref[:]
+        # off-diagonal mask from iota (pallas rejects captured consts);
+        # mean over ALL m*m entries with the diagonal zeroed — exactly
+        # the unfused val's jnp.mean(|pred*off - hr*off|)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (m_nodes, m_nodes), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m_nodes, m_nodes), 1)
+        off = (ii != jj).astype(F32)
+        mae = jnp.sum(jnp.abs(pred * off - hr * off)) / (m_nodes * m_nodes)
+        out_ref[0, 0] = loss
+        out_ref[0, 1] = mae
+
+    def run(p_leaves, a0, x0, hr):
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * (n_leaves + 3),
+            out_specs=smem,
+            out_shape=jax.ShapeDtypeStruct((1, 2), F32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+        )(*p_leaves, a0, x0, hr)
+        return out[0, 0], out[0, 1]
+
+    return run
+
+
+def gat_val_fused(p_leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
+                  n_nodes: int, m_nodes: int, heads: int,
+                  intermediate_losses: bool = True,
+                  interpret: bool = False, batched_chain: bool = False):
+    """One validation forward (loss + off-diagonal MAE) as ONE Mosaic
+    kernel — the eval-side twin of gat_train_step_fused (dropout off,
+    no grads). The unfused per-subject flax forward dominates the
+    trainer's per-epoch marginal cost once training steps are fused
+    (tools/experiments/gat_trainer_breakdown.py); this collapses the
+    ~170 tiny ops per subject into one kernel launch. Returns
+    ``(loss, mae)`` — loss exactly the training objective at
+    train=False (ref: unet-transformer.py:149-195 computes val loss
+    with the same criterion), mae the off-diagonal mean absolute error
+    the reports quote."""
+    fn = _make_gat_val_kernel(int(dim), tuple(ks), int(n_nodes),
+                              int(m_nodes), int(heads),
+                              bool(intermediate_losses), bool(interpret),
+                              bool(batched_chain))
+    return fn(p_leaves, a0, x0, hr)
 
 
 def gat_train_step_fused(p_leaves, m_leaves, v_leaves, a0, x0, hr,

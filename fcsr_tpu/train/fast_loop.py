@@ -39,7 +39,7 @@ from jax.flatten_util import ravel_pytree
 from fcsr_tpu.core.normalize import fill_diagonal, unpad
 from fcsr_tpu.train.gsr_loop import GSRTrainConfig, precompute_spectral
 from fcsr_tpu.train.losses import gsr_composite_loss
-from fcsr_tpu.utils.transfer import device_put_fast
+from fcsr_tpu.utils.transfer import device_put_fast, init_on_host
 
 __all__ = ["stage_dataset", "train_gsr_folds_parallel",
            "evaluate_gsr_folds", "adam_flat_update", "GSRFoldRunner"]
@@ -63,10 +63,16 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
     chunks)."""
     n_epochs = cfg.epochs if epochs is None else epochs
     model = cfg.model()
-    dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-    # dummy u_lr keeps the (expensive-to-compile) in-forward eigh out of
-    # the init trace — parameter creation is identical either way
-    template = model.init(jax.random.PRNGKey(0), dummy, u_lr=dummy)
+
+    def _template():
+        dummy = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
+        # dummy u_lr keeps the (expensive-to-compile) in-forward eigh out
+        # of the init trace — parameter creation is identical either way
+        return model.init(jax.random.PRNGKey(0), dummy, u_lr=dummy)
+
+    # host-CPU init: eager init over the TPU tunnel is seconds of
+    # per-op round trips (tools/experiments/gat_fixed_cost.py)
+    template = init_on_host(_template)
     _, unravel = ravel_pytree(template)
 
     if cfg.fused_step:
@@ -402,13 +408,17 @@ class GSRFoldRunner:
         if n_pad_folds:  # masked no-op folds: every step/eval slot invalid
             self.tr_valid[self.n_folds:] = 0.0
             self.va_valid[self.n_folds:] = 0.0
-        flats = []
-        eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
-        for j in range(self._n_total):
-            p = cfg.model().init(jax.random.PRNGKey(init_seed + j), eye,
-                                 u_lr=eye)
-            flats.append(ravel_pytree(p)[0])
-        self.flat0 = self._put_folded(jnp.stack(flats))
+        def _init_folds():
+            eye = jnp.eye(cfg.lr_dim, dtype=jnp.float32)
+            return [ravel_pytree(cfg.model().init(
+                jax.random.PRNGKey(init_seed + j), eye, u_lr=eye))[0]
+                for j in range(self._n_total)]
+
+        # host-CPU init: eager per-fold init over the TPU tunnel costs
+        # seconds of per-op round trips (gat_fixed_cost.py)
+        flats = [np.asarray(f) for f in init_on_host(_init_folds)]
+        self.flat0 = self._put_folded(jnp.stack([jnp.asarray(f)
+                                                 for f in flats]))
         self.tr_idx = self._put_folded(self.tr_idx)
         self.tr_valid = self._put_folded(self.tr_valid)
         self.va_idx = self._put_folded(self.va_idx)

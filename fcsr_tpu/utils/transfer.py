@@ -17,7 +17,29 @@ from functools import partial
 import jax
 import numpy as np
 
-__all__ = ["device_put_fast", "to_host"]
+__all__ = ["device_put_fast", "to_host", "init_on_host"]
+
+
+def init_on_host(thunk):
+    """Run a (flax) parameter-init thunk on the host CPU backend.
+
+    An un-jitted ``Module.init`` evaluates every initializer op EAGERLY
+    on the default device — through the tunnelled TPU runtime that is
+    hundreds of per-op round trips (measured: 3 GAT U-Net inits cost
+    ~13-19 s of a 29 s training run; tools/experiments/gat_fixed_cost.py).
+    Params are tiny; initializing them on the local CPU backend and
+    shipping the result is orders of magnitude cheaper.
+
+    ``thunk`` must create its own example inputs so they are born on
+    the CPU (an input committed to the TPU would drag ops back there).
+    Falls back to running in place when no CPU backend exists.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return thunk()
+    with jax.default_device(cpu):
+        return thunk()
 
 
 @partial(jax.jit, static_argnames=("shape",))

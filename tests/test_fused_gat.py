@@ -65,6 +65,23 @@ def test_gat_step_loss_matches_model(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_val_kernel_matches_model(rng):
+    """gat_val_fused (interpret) == unfused flax val: identical loss
+    (training objective at train=False) and off-diagonal MAE."""
+    from fcsr_tpu.models.fused_gat import gat_val_fused
+
+    model, v, a_raw, hr, x_feat, a0, leaves = _setup(rng)
+    pred, a_hist, a_recon = model.apply(v, jnp.asarray(a_raw), x=x_feat,
+                                        train=False)
+    want_loss = float(unet_loss(pred, hr, a_hist, a_recon, True))
+    off = 1.0 - jnp.eye(32)
+    want_mae = float(jnp.mean(jnp.abs(pred * off - hr * off)))
+    loss, mae = gat_val_fused(leaves, a0, x_feat, hr, interpret=True,
+                              **KW)
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-6)
+    np.testing.assert_allclose(float(mae), want_mae, rtol=1e-6)
+
+
 def test_batched_chain_matches_perhead(rng):
     """The (n, heads*n) batched softmax chain (_gat_layer_batched) ==
     the per-head chain: loss identical (row-global softmax shift

@@ -2,13 +2,16 @@
 
 The bare fused step kernel costs ~87 us (gat_chain_batch.py) yet the
 production trainer spends ~2 ms per work item (26.5 s / 13 304 —
-outputs/gat/bench.json). This times the trainer's actual compiled
-pieces at the production config (167 subjects, 3 folds, 100 epochs):
+outputs/gat/bench.json). Scaling the epoch count while PINNING the
+chunk program (control_chunk_epochs stays 25, so epochs=50 and
+epochs=100 reuse the identical compiled chunk — no fresh compiles)
+separates per-run fixed cost (feature SVD, staging, final bulk pull)
+from per-epoch cost (train scan + val pass):
 
-  * epoch_all  — one epoch of fused train steps, vmapped over 3 folds
-  * val_all    — one epoch's validation pass (unfused flax forward,
-                 vmapped over ~56 val subjects x 3 folds)
-  * run 25-epoch chunk — the shipped on-device-control program
+    wall(ep) ~= fixed + ep * per_epoch
+
+A third config with val sets shrunk to 1 subject (NOT semantics —
+diagnostic only) splits per-epoch cost into train-scan vs val-pass.
 
 Run on the real TPU: python tools/experiments/gat_trainer_breakdown.py
 """
@@ -22,49 +25,47 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/fcsr_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-import jax.numpy as jnp
 import numpy as np
 
 from fcsr_tpu.data import load_or_synthesize
-from fcsr_tpu.data.datamodule import kfold_splits
+from fcsr_tpu.data.datamodule import kfold_indices
 from fcsr_tpu.train import gat_loop as gl
 
-EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-
-cfg = gl.GATTrainConfig(epochs=EPOCHS, fused_step=True)
 data = load_or_synthesize("data", n_train=167, n_test=112, seed=42)
 lr_all = np.asarray(data["lr_train"], np.float32)
 hr_all = np.asarray(data["hr_train"], np.float32)
-folds = kfold_splits(len(lr_all), 3, seed=42, shuffle=True)
+folds = kfold_indices(len(lr_all), 3, seed=42)
 print(f"device={jax.devices()[0]} folds={len(folds)} "
       f"tr={len(folds[0][0])} va={len(folds[0][1])}", flush=True)
 
 
-def timed(name, fn, *args, n=5):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = jax.block_until_ready(fn(*args))
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:28s}: {dt * 1e3:9.2f} ms", flush=True)
-    return out, dt
+def run(ep, fs, reps=2, tag=""):
+    cfg = gl.GATTrainConfig(epochs=ep, fused_step=True)
+    best = None
+    for r in range(reps):
+        t0 = time.perf_counter()
+        gl.train_gat_folds_parallel(cfg, lr_all, hr_all, fs)
+        best = time.perf_counter() - t0
+        print(f"  epochs={ep:3d}{tag}: run {r}: {best:8.2f} s",
+              flush=True)
+    return best
 
 
-# Reach into the trainer's own closures by rebuilding them exactly as
-# train_gat_folds_parallel does (host_control path exposes epoch_all /
-# val_all as jitted pieces; we re-create minimal equivalents here by
-# calling the trainer once with epochs=1 to warm caches, then timing
-# its internals via the public entry under different epoch counts).
-t0 = time.perf_counter()
-gl.train_gat_folds_parallel(cfg._replace_epochs(1) if hasattr(cfg, "_replace_epochs")
-                            else gl.GATTrainConfig(epochs=1, fused_step=True),
-                            lr_all, hr_all, folds)
-print(f"whole-run epochs=1 (cold+warm caches): {time.perf_counter()-t0:.1f}s",
+print("production val sets (25-epoch chunk program, persistent-cached):",
       flush=True)
+t100 = run(100, folds)
+t50 = run(50, folds)
+per_ep = (t100 - t50) / 50
+fixed = t50 - 50 * per_ep
+print(f"per-epoch marginal: {per_ep*1e3:.1f} ms   "
+      f"fixed overhead: {fixed:.2f} s", flush=True)
 
-for ep in (1, 5, 10, 25):
-    c = gl.GATTrainConfig(epochs=ep, fused_step=True)
-    t0 = time.perf_counter()
-    gl.train_gat_folds_parallel(c, lr_all, hr_all, folds)
-    print(f"whole run, epochs={ep:3d}: {time.perf_counter()-t0:8.2f} s",
-          flush=True)
+# diagnostic: 1-subject val sets => val pass ~56x cheaper
+tiny = [(tr, va[:1]) for tr, va in folds]
+print("1-subject val sets (diagnostic — val cost isolated):", flush=True)
+tv100 = run(100, tiny, tag=" tiny-val")
+tv50 = run(50, tiny, tag=" tiny-val")
+per_ep_t = (tv100 - tv50) / 50
+print(f"per-epoch marginal (tiny val): {per_ep_t*1e3:.1f} ms", flush=True)
+print(f"=> val pass per epoch ~{(per_ep - per_ep_t)*1e3:.1f} ms, "
+      f"train scan + control ~{per_ep_t*1e3:.1f} ms", flush=True)

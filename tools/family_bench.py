@@ -103,6 +103,8 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    import jax
+
     from fcsr_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
