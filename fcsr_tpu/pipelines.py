@@ -190,44 +190,21 @@ def run_gat_cv_fast(data: Dict[str, np.ndarray],
         host_control=host_control, mesh=mesh)
     t_train = time.perf_counter() - t0
 
-    # all folds' validation predictions in ONE jitted program (vmapped
-    # over per-fold params AND val subjects; ragged fold sizes padded) —
-    # three per-fold predict calls would each pay their own dispatch and
-    # feature staging
+    # all folds' validation predictions in ONE cached jitted program —
+    # see train/gat_loop.py::predict_gat_folds
     t0 = time.perf_counter()
-    import jax.numpy as jnp
-    from jax.flatten_util import ravel_pytree
-
-    from fcsr_tpu.train.gat_loop import precompute_gat_features
+    from fcsr_tpu.train.gat_loop import (precompute_gat_features,
+                                         predict_gat_folds)
     from fcsr_tpu.utils.transfer import device_put_fast
 
-    flats = []
-    for v in best_vars:
-        flat, unravel = ravel_pytree(v)
-        flats.append(flat)
-    flat_f = jnp.stack(flats)
     lr_d = device_put_fast(lr_all)
     x_d = precompute_gat_features(lr_all, dim=cfg.dim)
     va_len = max(len(va) for _, va in folds)
     va_idx = np.zeros((len(folds), va_len), np.int32)
     for j, (_, va) in enumerate(folds):
         va_idx[j, :len(va)] = np.asarray(va, np.int32)
-
-    @jax.jit
-    def predict_folds(flat_f, idx_f):
-        def fold(flat, idx):
-            params = unravel(flat)
-
-            def one(i):
-                pred, _, _ = model.apply(params, lr_d[i], x=x_d[i],
-                                         train=False)
-                return pred
-
-            return jax.vmap(one)(idx)
-
-        return jax.vmap(fold)(flat_f, idx_f)
-
-    preds_f = np.asarray(predict_folds(flat_f, jnp.asarray(va_idx)))
+    preds_f = np.asarray(predict_gat_folds(model, best_vars, lr_d, x_d,
+                                           va_idx))
     t_predict = time.perf_counter() - t0
 
     fold_metrics = []

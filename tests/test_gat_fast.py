@@ -134,3 +134,46 @@ def test_bottom_gat_applies_dropout(rng):
     o1 = model.apply(variables, a, x=x, train=False)[0]
     o2 = model.apply(variables, a, x=x, train=False)[0]
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_predict_programs_cached_across_calls(rng):
+    """predict_gat / predict_gat_folds reuse ONE jitted program across
+    calls and across equal-config model objects (flax modules hash by
+    structure) — a fresh jax.jit per call re-traces the whole U-Net and
+    cost the family bench ~16 s/pass of pure dispatch (PERF.md)."""
+    from fcsr_tpu.models.gat_unet import GATGraphUnet
+    from fcsr_tpu.train.gat_loop import (GATTrainConfig, init_gat,
+                                         precompute_gat_features,
+                                         predict_gat, predict_gat_folds,
+                                         _FOLD_PREDICT_PROGRAMS,
+                                         _PREDICT_PROGRAMS)
+    from fcsr_tpu.utils.transfer import device_put_fast
+
+    cfg = GATTrainConfig(n_nodes=20, m_nodes=32, ks=(0.5,), dim=8,
+                         drop_p=0.0)
+    model, variables, _, _ = init_gat(cfg, jax.random.PRNGKey(0))
+    lr = np.stack([random_symmetric(rng, 20) for _ in range(4)])
+
+    n0 = len(_PREDICT_PROGRAMS)
+    p1 = np.asarray(predict_gat(variables, model, cfg, lr))
+    # equal-config model built later (a second bench pass) shares the entry
+    model2 = GATGraphUnet(ks=cfg.ks, n_nodes=20, m_nodes=32, dim=8,
+                          heads=cfg.heads, drop_p=cfg.drop_p)
+    p2 = np.asarray(predict_gat(variables, model2, cfg, lr))
+    assert len(_PREDICT_PROGRAMS) == n0 + 1
+    np.testing.assert_array_equal(p1, p2)
+
+    # fold-vmapped program: cached per (model, flat width), and exact vs
+    # the single-model path on the same params
+    lr_d = device_put_fast(lr)
+    x_d = precompute_gat_features(lr, dim=cfg.dim)
+    va_idx = np.array([[0, 1], [2, 3]], np.int32)
+    m0 = len(_FOLD_PREDICT_PROGRAMS)
+    f1 = np.asarray(predict_gat_folds(model, [variables, variables],
+                                      lr_d, x_d, va_idx))
+    f2 = np.asarray(predict_gat_folds(model2, [variables, variables],
+                                      lr_d, x_d, va_idx))
+    assert len(_FOLD_PREDICT_PROGRAMS) == m0 + 1
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_allclose(f1.reshape(4, 32, 32), p1, rtol=1e-6,
+                               atol=1e-6)
