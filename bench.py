@@ -117,6 +117,14 @@ def main():
     from fcsr_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # here via the config route so the CI smoke (and any user) can force
+    # a backend for this process
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import numpy as np
 
     from fcsr_tpu.data import load_or_synthesize
@@ -126,7 +134,26 @@ def main():
 
     data_dir = os.environ.get("FCSR_DATA_DIR", "data")
     is_synthetic = not os.path.exists(os.path.join(data_dir, "lr_train.csv"))
-    data = load_or_synthesize(data_dir, n_train=167, n_test=112, seed=42)
+
+    # FCSR_BENCH_TINY=1: CI smoke mode — the FULL protocol (staging,
+    # chunked cold pass with exact-resume checkpoints, steady pass,
+    # gates, the one-JSON-line contract) at toy scale (9 subjects,
+    # 20->32 nodes), runnable on CPU in seconds. Guards the late code
+    # path end-to-end (tests/test_bench_quality.py::
+    # test_bench_main_smoke_tiny); the golden band does not apply at
+    # this scale (pinned for the full config only).
+    tiny = os.environ.get("FCSR_BENCH_TINY") == "1"
+    if tiny:
+        # always the synthetic teacher (real CSVs are full-size only)
+        is_synthetic = True
+        os.environ.setdefault("FCSR_BENCH_GOLDEN_MAE", "0")
+        data = load_or_synthesize(None, n_train=9, n_test=1, seed=42)
+        data = dict(data,
+                    lr_train=data["lr_train"][:, :20, :20].copy(),
+                    hr_train=data["hr_train"][:, :32, :32].copy())
+    else:
+        data = load_or_synthesize(data_dir, n_train=167, n_test=112,
+                                  seed=42)
 
     # reference config (200 epochs, lr 1e-4) with the WHOLE training step
     # — U-Net fwd + spectral tail value+grad + hand-written U-Net
@@ -134,7 +161,15 @@ def main():
     # (models/fused_step.py::train_step_fused; bit-exact vs the
     # three-kernel path, tested). Eliminating the flat-Adam marshalling
     # is worth ~115 us/step: 7.28 -> 4.72 s steady (PERF.md).
-    cfg = GSRTrainConfig(fused_adam=True)
+    if tiny:
+        cfg = GSRTrainConfig(fused_adam=True, lr_dim=20, hr_dim=32,
+                             hidden_dim=32, ks=(0.9, 0.7))
+    else:
+        cfg = GSRTrainConfig(fused_adam=True)
+    if os.environ.get("FCSR_BENCH_EPOCHS"):
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, epochs=int(os.environ["FCSR_BENCH_EPOCHS"]))
     splits = int(os.environ.get("FCSR_BENCH_SPLITS", "3"))
     n = len(data["lr_train"])
     folds = kfold_indices(n, splits, seed=42)

@@ -7,6 +7,8 @@ model — preserves every shape and dtype and still trains to finite
 losses; only the quality gates catch it.
 """
 
+import os
+
 import pytest
 
 import jax
@@ -186,3 +188,37 @@ def test_teacher_target_is_realizable():
     # (up to the 0.5% clipped tail and f32 rounding)
     diff = np.abs(preds[:, off] - hr[:, off])
     assert np.quantile(diff, 0.99) < 1e-4, np.quantile(diff, 0.99)
+
+
+@pytest.mark.slow
+def test_bench_main_smoke_tiny(tmp_path):
+    """bench.py end-to-end as a SUBPROCESS in tiny mode: the whole late
+    code path (staging, chunked cold pass + checkpoints, steady pass,
+    gates, device field, JSON emission) must execute and print one
+    parseable JSON line. Guards against late-path crashes the unit
+    tests of quality_gates can't see (a dropped `import jax` shipped in
+    round 3 and would have zeroed the driver's bench artifact)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               FCSR_BENCH_TINY="1", FCSR_BENCH_EPOCHS="6",
+               FCSR_BENCH_SPLITS="3", JAX_PLATFORMS="cpu",
+               FCSR_BENCH_CHECKPOINT=str(tmp_path / "ck.msgpack"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env)
+    json_lines = [ln for ln in proc.stdout.splitlines()
+                  if ln.startswith("{")]
+    assert len(json_lines) == 1, (proc.stdout, proc.stderr[-2000:])
+    out = json.loads(json_lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline", "elapsed_s",
+                "cold_s", "mean_val_mae", "quality_ok", "device"):
+        assert key in out, key
+    assert np.isfinite(out["value"]) and out["value"] > 0
+    # rc 1 is allowed ONLY for the quality assert (toy scale may not
+    # clear the trained-vs-untrained factor); any other failure is a bug
+    if proc.returncode != 0:
+        assert "quality regression" in proc.stderr, proc.stderr[-2000:]
