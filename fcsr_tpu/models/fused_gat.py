@@ -232,9 +232,8 @@ def _gat_layer_batched(h, s_all, t_all, bias_row, maskf, heads: int,
     sums = _mm(e, rep.T)                              # (n, heads)
     alpha_big = e / _mm(sums, rep)
     if drop_mask is not None:
-        keep = jnp.concatenate(
-            [drop_mask[j] for j in range(heads)]
-            if heads > 1 else [drop_mask], axis=1)
+        keep = jnp.concatenate([drop_mask[j] for j in range(heads)],
+                               axis=1)
         alpha_big = alpha_big * keep * (1.0 / (1.0 - drop_p))
     outs = [_mm(alpha_big[:, j * n:(j + 1) * n],
                 h[:, j * d_head:(j + 1) * d_head])
@@ -291,7 +290,7 @@ def gat_step_loss(leaves, a0, x0, hr, *, dim: int, ks: Sequence[float],
         z = x
         pm = dm(f"pool_{i}")
         if pm is not None:
-            z = x * pm * (1.0 / (1.0 - drop_p))
+            z = x * pm[0] * (1.0 / (1.0 - drop_p))
         pw, pb = pools[i]
         scores_col = jax.nn.sigmoid(_mm(z, pw)
                                     + _mm(_ones_col(z.shape[0]), pb))
@@ -352,7 +351,11 @@ def _mask_shapes(dim: int, ks: Sequence[float], n_nodes: int, heads: int):
 
 def _draw_masks(dim, ks, n_nodes, heads, drop_p):
     """In-kernel dropout masks from the Mosaic PRNG (seeded by the
-    caller). keep ~ Bernoulli(1 - p) as uniform >= p."""
+    caller). keep ~ Bernoulli(1 - p) as uniform >= p.
+
+    Every entry is a LIST of per-head (rows, cols) masks, even for
+    count == 1 — a bare array would make ``drop_mask[j]`` silently index
+    ROW j instead of head j in the heads==1 attention path."""
     masks = {}
     for name, count, shape in _mask_shapes(dim, ks, n_nodes, heads):
         ms = []
@@ -360,7 +363,7 @@ def _draw_masks(dim, ks, n_nodes, heads, drop_p):
             bits = pltpu.prng_random_bits(shape)
             u = (bits >> 8).astype(F32) * (1.0 / (1 << 24))
             ms.append((u >= drop_p).astype(F32))
-        masks[name] = ms if count > 1 else ms[0]
+        masks[name] = ms
     return masks
 
 

@@ -86,6 +86,8 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
     # through the tunnelled runtime, ~17 s per call measured; hoisted:
     # a fresh jit per fold would recompile the same program k times)
     pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    fold_maes = []
+    off = ~np.eye(n_out, dtype=bool)
     for j, (tr, va) in enumerate(folds):
         variables = model.init(
             {"params": jax.random.PRNGKey(seed + j),
@@ -98,6 +100,8 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
             seed=seed + j, verbose=verbose)
         fold_losses.append((tr_h, va_h, lr_h))
         preds = np.asarray(pred_fn(variables, jnp.asarray(lr_all[va])))
+        fold_maes.append(float(
+            np.abs(preds[:, off] - hr_all[va][:, off]).mean()))
         if full_metrics:
             from fcsr_tpu.evalx.report import print_metrics
             fold_metrics.append(print_metrics(hr_all[va], preds, fold_i=j,
@@ -112,6 +116,7 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
             best, jnp.asarray(np.asarray(data["lr_test"],
                                          dtype=np.float32))))
     return {"model": model, "variables": best, "fold_metrics": fold_metrics,
+            "fold_maes": fold_maes, "mean_mae": float(np.mean(fold_maes)),
             "histories": fold_losses, "test_preds": test_preds}
 
 

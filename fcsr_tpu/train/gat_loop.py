@@ -508,6 +508,36 @@ def _gat_fold_programs(cfg: GATTrainConfig, interp: bool):
         epoch_jit=jax.jit(epoch_all), val_jit=jax.jit(val_all))
 
 
+_SHARDED_CHUNK_PROGRAMS: dict = {}
+
+
+def _sharded_chunk_program(progs, mesh):
+    """The fold-sharded jit of ``progs.run_chunk``, cached per
+    (programs, mesh) — progs instances are themselves cached, so repeat
+    multichip trainer calls share ONE traced + lowered executable."""
+    # SimpleNamespace is unhashable; key by id and pin progs in the
+    # value so the id cannot be recycled while the entry lives
+    key = (id(progs), mesh)
+    hit = _SHARDED_CHUNK_PROGRAMS.get(key)
+    if hit is not None:
+        return hit[0]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    fold = NamedSharding(mesh, P("batch"))
+    efold = NamedSharding(mesh, P(None, "batch"))
+    rep = NamedSharding(mesh, P())
+    carry_sh = ((fold, fold, fold, fold), fold, fold, fold, fold,
+                fold, fold, fold)
+    fn = jax.jit(
+        progs.run_chunk,
+        in_shardings=(carry_sh, efold, efold, fold, fold,
+                      (rep, rep, rep, rep)),
+        out_shardings=(carry_sh, (efold, efold, efold, efold)))
+    if len(_SHARDED_CHUNK_PROGRAMS) >= 8:
+        _SHARDED_CHUNK_PROGRAMS.pop(next(iter(_SHARDED_CHUNK_PROGRAMS)))
+    _SHARDED_CHUNK_PROGRAMS[key] = (fn, progs)
+    return fn
+
+
 def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                              seed: int = 42, verbose: bool = False,
                              host_control: bool = False,
@@ -653,7 +683,10 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                                        threshold=cfg.plateau_threshold)
                       for _ in range(n_folds)]
         cur_lr = np.full(n_folds, cfg.lr, dtype=np.float32)
-        active = np.ones(n_folds, dtype=np.float32)
+        # padding folds (mesh) are masked no-ops: start them inactive so
+        # the all-stopped early exit tracks only real folds
+        active = np.zeros(n_folds, dtype=np.float32)
+        active[:n_real_folds] = 1.0
         best_val = np.full(n_folds, np.inf)
         best_flat = [None] * n_folds
         hists = [{"train": [], "val": [], "lr": []}
@@ -711,23 +744,24 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
         _put_epochs = jnp.asarray
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        fold = NamedSharding(mesh, P("batch"))
         efold = NamedSharding(mesh, P(None, "batch"))
-        rep = NamedSharding(mesh, P())
-        carry_sh = ((fold, fold, fold, fold), fold, fold, fold, fold,
-                    fold, fold, fold)
-        chunk_fn = jax.jit(
-            progs.run_chunk,
-            in_shardings=(carry_sh, efold, efold, fold, fold,
-                          (rep, rep, rep, rep)),
-            out_shardings=(carry_sh, (efold, efold, efold, efold)))
+        # cached per (programs, mesh): a fresh jax.jit here would
+        # re-trace + re-lower the whole chunk program on EVERY trainer
+        # call — the exact fixed overhead the unsharded path's
+        # chunk_jit cache removes (PERF.md trainer composition)
+        chunk_fn = _sharded_chunk_program(progs, mesh)
 
         def _put_epochs(a):
             return jax.device_put(jnp.asarray(a), efold)
 
+    # padding folds start INACTIVE: they are fully masked no-ops, and
+    # starting them active would keep the all-stopped early exit below
+    # waiting ~2*(patience+1) epochs for their dummy schedulers to decay
+    active0 = np.zeros(n_folds, np.float32)
+    active0[:n_real_folds] = 1.0
     carry = (state, _put_folded(keys),
              _put_folded(jnp.full((n_folds,), cfg.lr, jnp.float32)),
-             _put_folded(jnp.ones((n_folds,), jnp.float32)),
+             _put_folded(jnp.asarray(active0)),
              _put_folded(jnp.full((n_folds,), jnp.inf, jnp.float32)),
              _put_folded(jnp.zeros((n_folds,), jnp.int32)),
              _put_folded(jnp.full((n_folds,), jnp.inf, jnp.float32)),

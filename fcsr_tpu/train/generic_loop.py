@@ -201,7 +201,14 @@ def _build_device_control_program(model, criterion: Callable,
                     v_new, o_new, lr_train_d, hr_train_d, idx, sub)
                 losses.append(rem_loss[None])
             tr_loss = jnp.mean(jnp.concatenate(losses))
-            vloss, _ = eval_step(v_new, lr_val, hr_val)
+            # validation forward only on validate epochs (lax.cond is a
+            # real branch here — no fold vmap in this trainer); the inf
+            # placeholder never surfaces: upd gates every consumer and
+            # the host-side history filter drops unflagged epochs
+            vloss = jax.lax.cond(
+                do_val > 0,
+                lambda v: eval_step(v, lr_val, hr_val)[0],
+                lambda v: jnp.asarray(jnp.inf, jnp.float32), v_new)
 
             act = active > 0
             upd = act & (do_val > 0)

@@ -145,3 +145,45 @@ def test_fused_gat_trainer_matches_unfused(rng):
         np.testing.assert_allclose(np.asarray(hists[0][j]["train"]),
                                    np.asarray(hists[1][j]["train"]),
                                    atol=1e-6)
+
+
+def test_heads1_dropout_masks_are_per_head_lists(rng):
+    """heads==1 dropout regression: every mask entry is a per-head LIST
+    so ``drop_mask[j]`` selects head j's (n, n) mask — a bare array
+    would broadcast ROW 0 over alpha (whole columns dropped together).
+    Checked structurally against _mask_shapes and behaviorally: the
+    per-head and batched chains agree under explicit heads==1 masks,
+    and differ from the no-dropout loss (masks are live)."""
+    from fcsr_tpu.models.fused_gat import _mask_shapes, gat_leaves_from_tree
+    from fcsr_tpu.models.gat_unet import symmetric_normalize
+
+    kw = dict(dim=4, ks=(0.5, 0.5), n_nodes=20, m_nodes=32, heads=1)
+    cfg1 = GATTrainConfig(n_nodes=20, m_nodes=32, dim=4, ks=(0.5, 0.5),
+                          heads=1, drop_p=0.5)
+    model = cfg1.model()
+    a_raw = rng.random((20, 20)).astype(np.float32)
+    a_raw = np.where(a_raw > 0.3, (a_raw + a_raw.T) / 2, 0.0)
+    a_raw = a_raw.astype(np.float32)
+    hr = rng.random((32, 32)).astype(np.float32)
+    hr = jnp.asarray((hr + hr.T) / 2)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, jnp.asarray(a_raw))
+    x_feat = precompute_gat_features(a_raw[None], dim=4)[0]
+    a0 = symmetric_normalize(jnp.asarray(a_raw) + jnp.eye(20))
+    leaves = gat_leaves_from_tree(v["params"], 4, (0.5, 0.5), 1)
+
+    masks = {}
+    for name, count, shape in _mask_shapes(4, (0.5, 0.5), 20, 1):
+        masks[name] = [
+            jnp.asarray((rng.random(shape) >= 0.5).astype(np.float32))
+            for _ in range(count)]
+        assert isinstance(masks[name], list)
+
+    l_plain = float(gat_step_loss(leaves, a0, x_feat, hr, **kw))
+    l_ph = float(gat_step_loss(leaves, a0, x_feat, hr, drop_p=0.5,
+                               drop_masks=masks, **kw))
+    l_bc = float(gat_step_loss(leaves, a0, x_feat, hr, drop_p=0.5,
+                               drop_masks=masks, batched_chain=True,
+                               **kw))
+    assert l_ph != l_plain  # masks actually applied
+    np.testing.assert_allclose(l_bc, l_ph, rtol=1e-6)

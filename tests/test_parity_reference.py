@@ -114,9 +114,11 @@ def test_transplant_trajectory_parity_smoke():
 def test_gat_transplant_forward_bitwise():
     """The GAT family's transplant smoke: the ACTUAL reference GraphUnet
     (imported from /root/reference/unet-transformer.py through the
-    plain-torch PyG shim) and our flax GATGraphUnet produce a
-    BITWISE-equal forward from transplanted weights and identical SVD
-    features."""
+    plain-torch PyG shim) and our flax GATGraphUnet agree from
+    transplanted weights and identical SVD features to summation-order
+    rounding (last-ulp f32: torch einsum vs XLA matmul accumulate in
+    different orders at realistic weight magnitudes; under the old
+    too-small shim init the forwards happened to be bitwise equal)."""
     import sys
 
     import jax
@@ -153,7 +155,8 @@ def test_gat_transplant_forward_bitwise():
     out_j, _, _ = model.apply(
         {"params": jax.tree.map(np.asarray, variables["params"])},
         np.asarray(a), x=np.asarray(x.numpy()), train=False)
-    np.testing.assert_array_equal(np.asarray(out_j), out_t.numpy())
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=2e-6, atol=2e-7)
 
     # the converter round-trips exactly and the key set matches the
     # real torch model's state_dict (transplants load strict)

@@ -42,8 +42,10 @@ def main():
     tx = optax.inject_hyperparams(tx_factory)(learning_rate=0.01)
     opt_state = tx.init(variables["params"])
     mutable = tuple(k for k in variables if k != "params")
-    train_step, train_epoch_full, eval_step = _make_step_fns(
-        model, tx, crit, mutable)
+    # _make_step_fns returns PLAIN functions since the on-device-control
+    # refactor (the chunk program embeds them); jit here to .lower()
+    train_step, train_epoch_full, eval_step = (
+        jax.jit(f) for f in _make_step_fns(model, tx, crit, mutable))
 
     key = jax.random.PRNGKey(0)
     idx3 = jnp.asarray(np.arange(96, dtype=np.int32).reshape(3, 32))

@@ -61,35 +61,19 @@ def run_gat(data, splits, epochs, fused):
 
 
 def run_mlp(data, splits, epochs):
-    import numpy as np
-
+    from fcsr_tpu.data.datamodule import contiguous_window_folds
     from fcsr_tpu.pipelines import run_mlp_cv
 
     res = run_mlp_cv(data, k_folds=splits, num_epochs=epochs, seed=42)
-    maes = []
-    n = len(data["lr_train"])
-    sample_steps = 0
-    for j, (tr_h, va_h, _) in enumerate(res["histories"]):
-        sample_steps += len(tr_h)  # epochs actually run for this fold
-    # each epoch visits every training sample once
-    steps = int(sample_steps * n * (1 - 1.0 / splits))
-    # per-fold val MAE from the returned predictions is not kept by
-    # run_mlp_cv; recompute from the best model on the last fold's val
-    # split is not representative either — use the mean of final val
-    # LOSSES as the quality field plus a dense-MAE eval pass below.
-    from fcsr_tpu.data.datamodule import contiguous_window_folds
-    import jax
-    folds = contiguous_window_folds(n, splits, 0.33, seed=42)
-    model = res["model"]
-    variables = res["variables"]
-    pred_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    lr_all = np.asarray(data["lr_train"], dtype=np.float32)
-    hr_all = np.asarray(data["hr_train"], dtype=np.float32)
-    off = ~np.eye(hr_all.shape[-1], dtype=bool)
-    _, va = folds[-1]
-    preds = np.asarray(pred_fn(variables, lr_all[va]))
-    maes.append(float(np.abs(preds[:, off] - hr_all[va][:, off]).mean()))
-    return float(np.mean(maes)), steps + len(va)
+    # work items from the ACTUAL fold plan (contiguous windows with
+    # p_val=0.33 — train size is n - int(0.33 n) regardless of splits,
+    # NOT n(1 - 1/splits)) and the epochs each fold actually ran
+    folds = contiguous_window_folds(len(data["lr_train"]), splits, 0.33,
+                                    seed=42)
+    steps = sum(len(tr_h) * len(tr)
+                for (tr_h, _, _), (tr, _) in zip(res["histories"], folds))
+    evals = sum(len(va) for _, va in folds)
+    return res["mean_mae"], steps + evals
 
 
 def main():

@@ -37,8 +37,10 @@ import torch.nn.functional as F
 
 
 def _glorot(t: torch.Tensor):
+    # PyG's torch_geometric.nn.inits.glorot: U(+-sqrt(6/(fan_in+fan_out)))
+    # over the last two dims (Xavier-uniform)
     if t is not None:
-        stdv = math.sqrt(6.0 / (t.size(-2) * t.size(-1)))
+        stdv = math.sqrt(6.0 / (t.size(-2) + t.size(-1)))
         t.data.uniform_(-stdv, stdv)
 
 
