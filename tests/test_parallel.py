@@ -245,3 +245,31 @@ def test_gat_fold_sharded_matches_single_device(rng):
         # rsqrt amplifies last-ulp fusion differences between the
         # sharded and unsharded compiles (histories above stay tight)
         np.testing.assert_allclose(f1, f2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_gat_sharded_chunk_program_cached(rng):
+    """Repeat multichip trainer calls must reuse ONE sharded chunk
+    program (a fresh jax.jit per call re-traces + re-lowers the whole
+    25-epoch program — the fixed overhead PERF.md's teardown removed)
+    and still produce identical results."""
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.gat_loop import (_SHARDED_CHUNK_PROGRAMS,
+                                         GATTrainConfig,
+                                         train_gat_folds_parallel)
+
+    cfg = GATTrainConfig(n_nodes=20, m_nodes=32, ks=(0.5, 0.5), dim=8,
+                         epochs=2, drop_p=0.0)
+    lr = np.stack([random_symmetric(rng, 20) for _ in range(8)])
+    hr = np.stack([random_symmetric(rng, 32) for _ in range(8)])
+    folds = kfold_indices(8, 2, seed=0)
+    mesh = batch_mesh(jax.devices()[:8])
+
+    _, _, h1 = train_gat_folds_parallel(cfg, lr, hr, folds, seed=0,
+                                        mesh=mesh)
+    n_progs = len(_SHARDED_CHUNK_PROGRAMS)
+    _, _, h2 = train_gat_folds_parallel(cfg, lr, hr, folds, seed=0,
+                                        mesh=mesh)
+    assert len(_SHARDED_CHUNK_PROGRAMS) == n_progs  # no new program
+    for a, b in zip(h1, h2):
+        np.testing.assert_array_equal(a["val"], b["val"])
