@@ -40,9 +40,15 @@ def _offdiag(w):
     return w * (1.0 - jnp.eye(n, dtype=w.dtype))
 
 
-def eigenvector_centrality(w, max_iter: int = 1000, tol: float = 1e-6):
+def eigenvector_centrality(w, max_iter: int = 1000, tol: float = 1e-6,
+                           return_converged: bool = False):
     """NetworkX-semantics eigenvector centrality of a weighted undirected
-    graph given as a dense matrix (self-loops ignored)."""
+    graph given as a dense matrix (self-loops ignored).
+
+    ``return_converged`` additionally returns the convergence flag —
+    networkx RAISES PowerIterationFailedConvergence when max_iter is
+    exhausted; device callers should check the flag and mirror that
+    (report.py does) instead of silently using the last iterate."""
     w = _offdiag(jnp.asarray(w, dtype=jnp.float64))
     n = w.shape[0]
     x0 = jnp.full((n,), 1.0 / n, dtype=jnp.float64)
@@ -64,13 +70,17 @@ def eigenvector_centrality(w, max_iter: int = 1000, tol: float = 1e-6):
         x = jnp.where(done, xlast, x)
         return x, it + 1, done | new_done
 
-    x, _, _ = jax.lax.while_loop(cond, body, (x0, 0, jnp.bool_(False)))
+    x, _, done = jax.lax.while_loop(cond, body, (x0, 0, jnp.bool_(False)))
+    if return_converged:
+        return x, done
     return x
 
 
-def pagerank(w, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6):
+def pagerank(w, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6,
+             return_converged: bool = False):
     """NetworkX-semantics PageRank on a dense weighted matrix (self-loops
-    ignored; undirected graphs are symmetric here so in/out coincide)."""
+    ignored; undirected graphs are symmetric here so in/out coincide).
+    ``return_converged``: see eigenvector_centrality."""
     w = _offdiag(jnp.asarray(w, dtype=jnp.float64))
     n = w.shape[0]
     s = w.sum(axis=1)
@@ -93,7 +103,9 @@ def pagerank(w, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6):
         x = jnp.where(done, xlast, x)  # freeze after convergence (see EC)
         return x, it + 1, done | new_done
 
-    x, _, _ = jax.lax.while_loop(cond, body, (x0, 0, jnp.bool_(False)))
+    x, _, done = jax.lax.while_loop(cond, body, (x0, 0, jnp.bool_(False)))
+    if return_converged:
+        return x, done
     return x
 
 

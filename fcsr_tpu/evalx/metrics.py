@@ -19,9 +19,11 @@ def mae(a, b):
 
 
 def pearson_corr(x, y):
-    """Pearson correlation coefficient (scipy.stats.pearsonr[0])."""
-    x = jnp.asarray(x, dtype=jnp.float32)
-    y = jnp.asarray(y, dtype=jnp.float32)
+    """Pearson correlation coefficient (scipy.stats.pearsonr[0]),
+    computed in f64 — this is the scipy fallback for the OFFICIAL PCC
+    over ~6M-element stacks, where f32 summation loses 3-4 digits."""
+    x = jnp.asarray(x, dtype=jnp.float64)
+    y = jnp.asarray(y, dtype=jnp.float64)
     xm = x - x.mean()
     ym = y - y.mean()
     num = jnp.sum(xm * ym)
@@ -29,7 +31,7 @@ def pearson_corr(x, y):
     return num / den
 
 
-def jensen_shannon_distance(p, q, eps: float = 0.0):
+def jensen_shannon_distance(p, q):
     """scipy.spatial.distance.jensenshannon semantics: normalize inputs to
     probability vectors, JS divergence with natural log, return the sqrt."""
     p = jnp.asarray(p, dtype=jnp.float64)
@@ -97,12 +99,22 @@ def weight_histogram_kl(gt, pred, bins: int = 50, eps: float = 1e-10):
     # convert to densities first (ref: utils/evaluation.py:49-59).
     width = jnp.where(hi > lo, (hi - lo) / bins, 1.0)
 
-    def density(values, mask):
+    # reference semantics: an EDGELESS graph contributes one literal
+    # placeholder weight 0.0 to its histogram (ref: :38-41 builds the
+    # weight list as [0] and bins it) — not an empty histogram, which
+    # would smooth to uniform and report a wildly different KL exactly
+    # when a prediction degenerates
+    idx0 = jnp.clip(jnp.floor((0.0 - lo) / width), 0,
+                    bins - 1).astype(jnp.int32)
+    placeholder = jnp.zeros(bins, jnp.float32).at[idx0].set(1.0)
+
+    def density(values, mask, has_edges):
         counts = _masked_histogram(values, mask, lo, hi, bins)
-        total = jnp.maximum(mask.sum(), 1)
+        counts = jnp.where(has_edges, counts, placeholder)
+        total = jnp.where(has_edges, jnp.maximum(mask.sum(), 1), 1)
         d = counts / (total * width) + eps
         return d / d.sum()
 
-    h_gt = density(gt, m_gt)
-    h_pr = density(pred, m_pr)
+    h_gt = density(gt, m_gt, any_gt)
+    h_pr = density(pred, m_pr, any_pr)
     return jnp.sum(h_gt * jnp.log(h_gt / h_pr))

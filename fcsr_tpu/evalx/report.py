@@ -15,6 +15,7 @@ Divergences from the reference (intentional, documented):
 
 from __future__ import annotations
 
+import functools
 import os
 import random
 from typing import Dict, Optional
@@ -49,8 +50,14 @@ def _sample_pivots(n: int, k: int, rng: random.Random) -> np.ndarray:
 
 # Batched jitted kernels, created once (the jit trace happens at call time,
 # so the enable_x64 scope in _device_metrics applies).
-_EC_B = jax.jit(jax.vmap(C.eigenvector_centrality))
-_PR_B = jax.jit(jax.vmap(C.pagerank))
+# EC/PR return per-sample convergence flags: networkx RAISES
+# PowerIterationFailedConvergence at max_iter; the device backend must
+# not silently report an unconverged centrality where the official
+# backend would crash (checked in _device_metrics).
+_EC_B = jax.jit(jax.vmap(
+    functools.partial(C.eigenvector_centrality, return_converged=True)))
+_PR_B = jax.jit(jax.vmap(
+    functools.partial(C.pagerank, return_converged=True)))
 _KC_B = jax.jit(jax.vmap(C.weighted_kcore_scores))
 _BC_B = jax.jit(jax.vmap(C.betweenness_centrality))
 _KL_B = jax.jit(jax.vmap(M.weight_histogram_kl))
@@ -72,8 +79,12 @@ def _run_tiled(fn, *arrays):
             chunk = [jnp.concatenate([c] + [c[:1]] * pad, axis=0)
                      for c in chunk]
         out = fn(*chunk)
-        outs.append(out[:_TILE - pad] if pad else out)
-    return jnp.concatenate(outs, axis=0)
+        if pad:
+            out = jax.tree.map(lambda o: o[:_TILE - pad], out)
+        outs.append(out)
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree.map(lambda *os: jnp.concatenate(os, axis=0), *outs)
 
 
 def _device_metrics(gt: np.ndarray, pred: np.ndarray,
@@ -97,11 +108,17 @@ def _device_metrics(gt: np.ndarray, pred: np.ndarray,
         gt_j = jnp.asarray(gt, dtype=jnp.float64)
         pred_j = jnp.asarray(pred, dtype=jnp.float64)
 
-        def ec(x):
-            return _run_tiled(_EC_B, x)
-
-        def pr(x):
-            return _run_tiled(_PR_B, x)
+        def checked(fn, x, what):
+            v, ok = _run_tiled(fn, x)
+            if not bool(jnp.all(ok)):
+                # networkx raises PowerIterationFailedConvergence here;
+                # silently reporting the last iterate would make the two
+                # backends compute different quantities
+                raise RuntimeError(
+                    f"{what} power iteration failed to converge within "
+                    "max_iter (networkx raises "
+                    "PowerIterationFailedConvergence for this input)")
+            return v
 
         def kc(x):
             return _run_tiled(_KC_B, x)
@@ -111,8 +128,12 @@ def _device_metrics(gt: np.ndarray, pred: np.ndarray,
 
         bc_mae = jnp.mean(jnp.abs(bc(pred_j, jnp.asarray(piv_pred))
                                   - bc(gt_j, jnp.asarray(piv_gt))), axis=1)
-        ec_mae = jnp.mean(jnp.abs(ec(pred_j) - ec(gt_j)), axis=1)
-        pr_mae = jnp.mean(jnp.abs(pr(pred_j) - pr(gt_j)), axis=1)
+        ec_mae = jnp.mean(jnp.abs(
+            checked(_EC_B, pred_j, "eigenvector centrality")
+            - checked(_EC_B, gt_j, "eigenvector centrality")), axis=1)
+        pr_mae = jnp.mean(jnp.abs(
+            checked(_PR_B, pred_j, "pagerank")
+            - checked(_PR_B, gt_j, "pagerank")), axis=1)
         cp_mae = jnp.mean(jnp.abs(kc(pred_j) - kc(gt_j)), axis=1)
         kl_div = _run_tiled(_KL_B, gt_j, pred_j)
     return {

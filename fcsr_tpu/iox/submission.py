@@ -59,14 +59,17 @@ def kaggle_submit(csv_path: str, message: str,
     on the host; ``dry_run=True`` (or a missing CLI) prints the exact
     command instead so it can be run where credentials live. Returns the
     CLI's exit code (0 on success or dry run)."""
+    import shlex
     import shutil
     import subprocess
 
     cmd = ["kaggle", "competitions", "submit", "-c", competition,
            "-f", csv_path, "-m", message]
     if dry_run or shutil.which("kaggle") is None:
+        # shlex.join: the printed command must survive copy-paste even
+        # when the message contains spaces/quotes
         print("kaggle CLI not invoked"
               + (" (dry run)" if dry_run else " (CLI not installed)")
-              + "; run:\n  " + " ".join(cmd))
+              + "; run:\n  " + shlex.join(cmd))
         return 0
     return subprocess.call(cmd)

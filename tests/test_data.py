@@ -120,3 +120,48 @@ def test_epoch_permutations():
     p2 = epoch_permutations(10, 5, seed=7)
     np.testing.assert_array_equal(p, p2)
     assert not np.array_equal(p[0], p[1])  # actually shuffled per epoch
+
+
+def test_load_dataset_cache_invalidated_on_csv_change(tmp_path):
+    """An edited/re-downloaded CSV must invalidate fcsr_cache.npz — a
+    stale cache would silently serve arrays that no longer match the
+    data on disk."""
+    import os
+    import pandas as pd
+    rng = np.random.default_rng(1)
+    for name, size, n in [("lr_train", 160, 3), ("hr_train", 268, 3),
+                          ("lr_test", 160, 2)]:
+        df = pd.DataFrame(rng.random((n, vec_len(size))).astype(np.float32))
+        df.to_csv(tmp_path / f"{name}.csv", index=False)
+    d1 = load_dataset(str(tmp_path))
+    assert "_fingerprint" not in d1
+
+    # rewrite lr_train with different content (and bump mtime)
+    df = pd.DataFrame((rng.random((3, vec_len(160))) * 0.5)
+                      .astype(np.float32))
+    df.to_csv(tmp_path / "lr_train.csv", index=False)
+    os.utime(tmp_path / "lr_train.csv")
+    d2 = load_dataset(str(tmp_path))
+    assert not np.array_equal(d1["lr_train"], d2["lr_train"])
+    d3 = load_dataset(str(tmp_path))  # cache hit on the NEW data
+    np.testing.assert_array_equal(d2["lr_train"], d3["lr_train"])
+
+
+def test_synth_test_split_same_parcellation_train_unchanged():
+    """n_test must not perturb the seeded train stream (the bench golden
+    is pinned on it), and the test subjects must come from the SAME
+    parcellation as train — not a differently-seeded generator."""
+    from fcsr_tpu.data.synthetic import synthesize_teacher_connectomes
+
+    lr1, hr1 = synthesize_teacher_connectomes(
+        5, lr_dim=20, hr_dim=32, seed=9)
+    lr2, hr2, lr_te = synthesize_teacher_connectomes(
+        5, lr_dim=20, hr_dim=32, seed=9, n_test=3)
+    np.testing.assert_array_equal(lr1, lr2)
+    np.testing.assert_array_equal(hr1, hr2)
+    assert lr_te.shape == (3, 20, 20)
+    # same parcellation -> test subjects correlate with the train mean
+    # far above what an independent parcellation would produce
+    train_mean = lr1.mean(axis=0).ravel()
+    c = np.corrcoef(train_mean, lr_te.mean(axis=0).ravel())[0, 1]
+    assert c > 0.8, c

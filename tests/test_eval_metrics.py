@@ -182,3 +182,36 @@ def test_print_metrics_writes_file(rng, tmp_path):
     assert set(m) == {"mae", "pcc", "js_distance", "kl_weights",
                       "mae_betweenness", "mae_eigenvector", "mae_pagerank",
                       "mae_core_periphery"}
+
+
+def test_weight_histogram_kl_edgeless_placeholder(rng):
+    """An edgeless side must contribute the reference's literal
+    placeholder weight 0 to its histogram (ref: utils/evaluation.py:
+    38-41 builds weights=[0]), not an empty histogram — the two differ
+    by an order of magnitude exactly when a prediction degenerates."""
+    from scipy.stats import entropy
+
+    w_gt = random_symmetric(rng, 24, density=0.6).astype(np.float64)
+    w_zero = np.zeros((24, 24))
+
+    def ref_kl(gt_m, pr_m):
+        iu = np.triu_indices(24, k=1)
+
+        def weights(w):
+            vals = w[iu]
+            vals = vals[vals != 0]
+            return vals if len(vals) else np.array([0.0])
+
+        gw, pw = weights(gt_m), weights(pr_m)
+        lo = min(gw.min(), pw.min())
+        hi = max(gw.max(), pw.max())
+        gh, _ = np.histogram(gw, bins=50, range=(lo, hi), density=True)
+        ph, _ = np.histogram(pw, bins=50, range=(lo, hi), density=True)
+        gh, ph = gh + 1e-10, ph + 1e-10
+        return entropy(gh / gh.sum(), ph / ph.sum())
+
+    for gt_m, pr_m in ((w_gt, w_zero), (w_zero, w_gt),
+                       (w_zero, w_zero)):
+        got = float(weight_histogram_kl(gt_m, pr_m))
+        np.testing.assert_allclose(got, ref_kl(gt_m, pr_m), rtol=1e-4,
+                                   err_msg=f"gt_edges={gt_m.any()}")
