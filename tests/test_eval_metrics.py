@@ -215,3 +215,17 @@ def test_weight_histogram_kl_edgeless_placeholder(rng):
         got = float(weight_histogram_kl(gt_m, pr_m))
         np.testing.assert_allclose(got, ref_kl(gt_m, pr_m), rtol=1e-4,
                                    err_msg=f"gt_edges={gt_m.any()}")
+
+
+def test_backends_agree_degenerate_pred(rng):
+    """A collapsed all-zero prediction (edgeless graphs) must not split
+    the backends: device centralities/KL follow the reference's
+    placeholder semantics end-to-end."""
+    gt = np.stack([random_symmetric(rng, 24, density=0.5)
+                   for _ in range(2)])
+    pred = np.zeros_like(gt)
+    dev = evaluate_pair_stacks(gt, pred, backend="device", seed=5)
+    nxm = evaluate_pair_stacks(gt, pred, backend="networkx", seed=5)
+    for key in dev:
+        np.testing.assert_allclose(dev[key], nxm[key], rtol=2e-4,
+                                   err_msg=key)
