@@ -12,12 +12,30 @@ import jax.numpy as jnp
 
 __all__ = [
     "normalize_adj",
+    "normalize_adj_np",
     "symmetric_normalize",
     "pad_hr_adj",
     "unpad",
     "fill_diagonal",
     "symmetrize",
 ]
+
+
+def normalize_adj_np(mx):
+    """Host-numpy batched D^-1/2 A D^-1/2 with the reference's inf->0
+    zero-degree guard (ref: utils/preprocessing.py:16-25) — the shared
+    helper for host-side preprocessing (staging, spectral precompute,
+    prediction). For the SYMMETRIC adjacencies it is applied to this
+    equals ``normalize_adj`` exactly (the reference's transpose quirk
+    cancels). Accepts (..., n, n); preserves dtype class."""
+    import numpy as np
+
+    mx = np.asarray(mx)
+    rowsum = mx.sum(axis=-1)
+    with np.errstate(divide="ignore"):
+        r = rowsum ** -0.5
+    r[np.isinf(r)] = 0.0
+    return mx * r[..., None, :] * r[..., :, None]
 
 
 def normalize_adj(mx):

@@ -361,7 +361,13 @@ def _draw_masks(dim, ks, n_nodes, heads, drop_p):
         ms = []
         for _ in range(count):
             bits = pltpu.prng_random_bits(shape)
-            u = (bits >> 8).astype(F32) * (1.0 / (1 << 24))
+            # bits is SIGNED int32: a plain `bits >> 8` is an arithmetic
+            # shift, mapping half the stream to negative u — which made
+            # `u >= drop_p` keep only ~49% at any small drop_p. Mask to
+            # the low 24 bits after a logical reinterpretation instead:
+            # u is then uniform in [0, 1).
+            u24 = jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
+            u = u24.astype(F32) * (1.0 / (1 << 24))
             ms.append((u >= drop_p).astype(F32))
         masks[name] = ms
     return masks

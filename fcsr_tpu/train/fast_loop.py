@@ -62,6 +62,14 @@ def _build_raw_programs(cfg: GSRTrainConfig, epochs: int = None):
     gather on device. ``epochs`` overrides cfg.epochs (used for checkpoint
     chunks)."""
     n_epochs = cfg.epochs if epochs is None else epochs
+    if cfg.padding and (cfg.fused_step or cfg.fused_tail or cfg.fused_adam):
+        # the fused kernels compute the loss at hr_dim without the
+        # unfused branch's unpad() crop — supporting padding there means
+        # new kernel variants, not a silent wrong loss
+        raise ValueError(
+            "padding != 0 is not supported by the fused kernel paths "
+            "(fused_step/fused_tail/fused_adam); use the unfused "
+            "trainer (all fused flags False) for padded configs")
     model = cfg.model()
 
     def _template():
@@ -344,13 +352,11 @@ def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all, mesh=None):
     replicated across the mesh devices (per-fold selection happens inside
     the partitioned program, so replication is what the zero-collective
     fold layout wants)."""
+    from fcsr_tpu.core.normalize import normalize_adj_np
+
     lr_np = np.asarray(lr_all, dtype=np.float32)
     hr_np = np.asarray(hr_all, dtype=np.float32)
-    rowsum = lr_np.sum(axis=-1)
-    with np.errstate(divide="ignore"):
-        r = rowsum ** -0.5
-    r[np.isinf(r)] = 0.0
-    a_norm = (lr_np * r[..., None, :] * r[..., :, None]).astype(np.float32)
+    a_norm = normalize_adj_np(lr_np).astype(np.float32)
     u_lr, u_hr = precompute_spectral(lr_np, hr_np, lr_dim=cfg.lr_dim,
                                      padding=cfg.padding)
     arrays = (a_norm, hr_np, np.asarray(u_lr, dtype=np.float32),
@@ -384,9 +390,17 @@ class GSRFoldRunner:
         # checkpoint blobs so a stale file from a different run (other
         # FCSR_BENCH_SPLITS, other dataset flavor, other epochs) is
         # detected and discarded instead of silently restored.
+        n_pad_folds = 0
+        if mesh is not None:
+            n_pad_folds = (-len(folds)) % mesh.devices.size
+        self._n_total = self.n_folds + n_pad_folds
         h = hashlib.blake2b(digest_size=8)
         h.update(repr(cfg).encode())
         h.update(repr(init_seed).encode())
+        # the padded fold-axis size is part of the state SHAPE: a blob
+        # written under a different device count must be discarded, not
+        # restored into a mismatched vmapped program
+        h.update(repr(self._n_total).encode())
         for tr, va in folds:
             h.update(np.asarray(tr, np.int64).tobytes())
             h.update(np.asarray(va, np.int64).tobytes())
@@ -395,10 +409,6 @@ class GSRFoldRunner:
             h.update(str(a.shape).encode())
             h.update(a.tobytes())
         self.fingerprint = h.hexdigest()
-        n_pad_folds = 0
-        if mesh is not None:
-            n_pad_folds = (-len(folds)) % mesh.devices.size
-        self._n_total = self.n_folds + n_pad_folds
         (self.model, self.template, self.unravel, self._train_all,
          self._eval_all) = _build_programs(cfg, mesh=mesh)
         self.data = stage_dataset(cfg, lr_all, hr_all, mesh=mesh)

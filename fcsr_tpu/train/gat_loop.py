@@ -206,12 +206,16 @@ def train_gat(variables, opt_state, model, tx, cfg: GATTrainConfig,
     best-state restore, early stop at lr < 1e-5
     (ref: unet-transformer.py:113-197)."""
     from fcsr_tpu.utils.transfer import device_put_fast
-    lr_train = device_put_fast(np.asarray(lr_train, dtype=np.float32))
+    # features from the HOST arrays: handing precompute the device copy
+    # would pull the whole stack straight back over the tunnel to hash it
+    lr_train_np = np.asarray(lr_train, dtype=np.float32)
+    lr_val_np = np.asarray(lr_val, dtype=np.float32)
+    lr_train = device_put_fast(lr_train_np)
     hr_train = device_put_fast(np.asarray(hr_train, dtype=np.float32))
-    lr_val = device_put_fast(np.asarray(lr_val, dtype=np.float32))
+    lr_val = device_put_fast(lr_val_np)
     hr_val = device_put_fast(np.asarray(hr_val, dtype=np.float32))
-    x_train = precompute_gat_features(lr_train, dim=cfg.dim)
-    x_val = precompute_gat_features(lr_val, dim=cfg.dim)
+    x_train = precompute_gat_features(lr_train_np, dim=cfg.dim)
+    x_val = precompute_gat_features(lr_val_np, dim=cfg.dim)
 
     params = variables["params"]
     epoch_fn, val_fn = _make_epoch_fn(model, tx, cfg)
@@ -872,6 +876,6 @@ def predict_gat(variables, model: GATGraphUnet, cfg: GATTrainConfig,
                 lr_stack):
     """Batched inference (ref: unet-transformer.py:433-446)."""
     from fcsr_tpu.utils.transfer import device_put_fast
-    lr_stack = device_put_fast(np.asarray(lr_stack, dtype=np.float32))
-    x = precompute_gat_features(lr_stack, dim=cfg.dim)
-    return _predict_program(model)(variables, lr_stack, x)
+    lr_np = np.asarray(lr_stack, dtype=np.float32)
+    x = precompute_gat_features(lr_np, dim=cfg.dim)
+    return _predict_program(model)(variables, device_put_fast(lr_np), x)

@@ -435,14 +435,18 @@ def _train_model_host(model, variables, opt_state, tx, train_step,
                     lambda x: np.asarray(x), variables)
             if cur_lr < min_lr_stop:
                 break
+        # log None on non-validate epochs (matching the device-control
+        # path) — reporting the previous validated loss as this epoch's
+        # would be stale telemetry
+        vloss_log = vloss if validate and val_hist else None
         if logger is not None:
             logger.log("epoch", epoch=epoch + 1,
                        train_loss=train_hist[-1],
-                       val_loss=val_hist[-1] if val_hist else None,
+                       val_loss=vloss_log,
                        lr=cur_lr)
         if verbose:
             print(f"epoch {epoch + 1}: train {train_hist[-1]:.6f} "
-                  f"val {val_hist[-1] if val_hist else float('nan'):.6f} "
+                  f"val {vloss_log if vloss_log is not None else float('nan'):.6f} "
                   f"lr {cur_lr:.2e}")
 
     if best_variables is not None:

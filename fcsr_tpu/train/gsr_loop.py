@@ -117,14 +117,11 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
         _, u_hr = jnp.linalg.eigh(hr_padded)
         return u_lr, u_hr[..., :, :lr_dim]
 
+    from fcsr_tpu.core.normalize import normalize_adj_np
+
     lr_np = np.asarray(lr_stack, dtype=np.float32)
     hr_np = np.asarray(hr_stack, dtype=np.float32)
-    rowsum = lr_np.sum(axis=-1)
-    with np.errstate(divide="ignore"):
-        r = rowsum ** -0.5
-    r[np.isinf(r)] = 0.0
-    a_norm = lr_np * r[..., None, :] * r[..., :, None]
-    _, u_lr = np.linalg.eigh(a_norm)
+    _, u_lr = np.linalg.eigh(normalize_adj_np(lr_np))
 
     if padding:
         hr_np = np.pad(hr_np, ((0, 0), (padding, padding),
@@ -224,14 +221,10 @@ def _batched_predict(params, model: GSRNet, lr_stack, u_lr, padding: int):
 
 def predict_gsr(params, model: GSRNet, cfg: GSRTrainConfig, lr_stack):
     """Batched inference over a stack of LR connectomes -> HR predictions."""
+    from fcsr_tpu.core.normalize import normalize_adj_np
     from fcsr_tpu.utils.transfer import device_put_fast
     lr_np = np.asarray(lr_stack, dtype=np.float32)
-    rowsum = lr_np.sum(axis=-1)
-    with np.errstate(divide="ignore"):
-        r = rowsum ** -0.5
-    r[np.isinf(r)] = 0.0
-    a_norm = lr_np * r[..., None, :] * r[..., :, None]
-    _, u_lr = np.linalg.eigh(a_norm)
+    _, u_lr = np.linalg.eigh(normalize_adj_np(lr_np))
     return _batched_predict(params, model, device_put_fast(lr_np),
                             device_put_fast(u_lr.astype(np.float32)),
                             padding=cfg.padding)

@@ -84,3 +84,18 @@ def test_evaluate_before_train_raises():
     # explicit params still work untrained
     maes, _ = runner.evaluate(runner.flat0)
     assert np.all(np.isfinite(np.asarray(maes)))
+
+
+def test_fused_paths_reject_padding(rng):
+    """The fused kernels compute the loss at hr_dim with no unpad crop;
+    padded configs must fail loudly, not train a silently wrong loss."""
+    from fcsr_tpu.train.fast_loop import GSRFoldRunner
+    from tests.conftest import random_symmetric
+
+    cfg = GSRTrainConfig(lr_dim=20, hr_dim=32, hidden_dim=32,
+                         ks=(0.9, 0.7), epochs=2, padding=2,
+                         fused_step=True)
+    lr = np.stack([random_symmetric(rng, 20) for _ in range(6)])
+    hr = np.stack([random_symmetric(rng, 36) for _ in range(6)])
+    with pytest.raises(ValueError, match="padding"):
+        GSRFoldRunner(cfg, lr, hr, kfold_indices(6, 2, seed=0))

@@ -187,3 +187,21 @@ def test_heads1_dropout_masks_are_per_head_lists(rng):
                                **kw))
     assert l_ph != l_plain  # masks actually applied
     np.testing.assert_allclose(l_bc, l_ph, rtol=1e-6)
+
+
+def test_dropout_bit_transform_uniform_01(rng):
+    """The in-kernel dropout's bits->uniform transform must map SIGNED
+    int32 PRNG words to u ~ U[0, 1). The old `bits >> 8` arithmetic
+    shift sent half the stream negative, so `u >= drop_p` kept ~49%
+    instead of 1 - drop_p at any small drop_p — silently halving every
+    fused-GAT attention map at the default drop_p=0.01. This replicates
+    the exact jnp ops on a host-generated int32 stream."""
+    bits = jnp.asarray(rng.integers(-2**31, 2**31, size=(512, 512),
+                                    dtype=np.int64).astype(np.int32))
+    u24 = jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
+    u = u24.astype(jnp.float32) * (1.0 / (1 << 24))
+    u = np.asarray(u)
+    assert u.min() >= 0.0 and u.max() < 1.0
+    for p in (0.01, 0.5):
+        keep = float((u >= p).mean())
+        assert abs(keep - (1.0 - p)) < 5e-3, (p, keep)
