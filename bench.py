@@ -132,8 +132,9 @@ def main():
     from fcsr_tpu.train import GSRTrainConfig
     from fcsr_tpu.train.fast_loop import GSRFoldRunner
 
+    from fcsr_tpu.data import has_real_csvs
     data_dir = os.environ.get("FCSR_DATA_DIR", "data")
-    is_synthetic = not os.path.exists(os.path.join(data_dir, "lr_train.csv"))
+    is_synthetic = not has_real_csvs(data_dir)
 
     # FCSR_BENCH_TINY=1: CI smoke mode — the FULL protocol (staging,
     # chunked cold pass with exact-resume checkpoints, steady pass,
@@ -247,9 +248,12 @@ def main():
         "device": device,
     }
     print(json.dumps(out))
-    assert quality_ok, (
-        "quality regression: trained val MAE failed the sensitivity "
-        f"gates ({quality})")
+    if not quality_ok:
+        # explicit exit, not assert: `python -O` strips asserts and
+        # would let a real quality regression return 0
+        raise SystemExit(
+            "quality regression: trained val MAE failed the sensitivity "
+            f"gates ({quality})")
 
 
 if __name__ == "__main__":

@@ -161,6 +161,14 @@ def main(argv=None):
     from fcsr_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    # honor JAX_PLATFORMS via the config route — the axon TPU plugin
+    # ignores the env var, so `JAX_PLATFORMS=cpu python -m fcsr_tpu ...`
+    # would silently run on TPU anyway (bench.py/__graft_entry__ apply
+    # the same shim)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.cmd == "train":
         from fcsr_tpu.utils import set_seed
         set_seed(args.seed)
@@ -173,6 +181,14 @@ def main(argv=None):
                                  fused_tail=args.fused_tail,
                                  fused_adam=args.fused)
             if args.fast or args.multichip or args.fused:
+                if args.verbose:
+                    # no silent flag drop: the fast path runs as one
+                    # compiled program — there is no per-epoch host
+                    # loop to narrate
+                    print("note: --verbose has no per-epoch output on "
+                          "the fast/fused path (whole-run on-device "
+                          "control; epoch histories are in the result)",
+                          file=sys.stderr)
                 result = run_gsr_cv_fast(
                     data, cfg, splits=args.splits, seed=args.seed,
                     full_metrics=args.full_metrics,

@@ -1,4 +1,5 @@
 from fcsr_tpu.data.io import (  # noqa: F401
+    has_real_csvs,
     load_csv_vectors,
     load_dataset,
     load_or_synthesize,

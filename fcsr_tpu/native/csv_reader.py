@@ -19,7 +19,18 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fast_csv.cpp")
-_LIB_NAME = "libfcsr_csv.so"
+
+
+def _src_tag() -> str:
+    """Short content hash of fast_csv.cpp: the library filename embeds
+    it, so a source fix forces a rebuild instead of silently loading a
+    stale binary built from old code."""
+    import hashlib
+    with open(_SRC, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:10]
+
+
+_LIB_NAME = f"libfcsr_csv_{_src_tag()}.so"
 
 _lock = threading.Lock()
 _lib = None
@@ -37,7 +48,10 @@ def _candidate_paths():
 
 def _build(lib_path: str) -> bool:
     os.makedirs(os.path.dirname(lib_path), exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    # generic -O3 (no -march=native): the parser is strtod/memory bound,
+    # and a natively-tuned binary in a shared cache dir SIGILLs when
+    # loaded on a different CPU generation
+    cmd = ["g++", "-O3", "-shared", "-fPIC",
            "-std=c++17", "-pthread", _SRC, "-o", lib_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -10,7 +10,7 @@
 //   fcsr_csv_dims(path, skip_first_col, *rows, *cols) -> 0 on success
 //   fcsr_csv_read(path, skip_first_col, out, rows, cols) -> 0 on success
 //
-// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread
 //        fast_csv.cpp -o libfcsr_csv.so
 
 #include <atomic>
@@ -60,10 +60,20 @@ int parse_line(const char* begin, const char* end, bool skip_first,
     const char* q = p;
     while (q < end && *q != ',') ++q;
     if (!(skip_first && field == 0)) {
-      // strtod on the field; blank or "nan" -> 0
-      char* endp = nullptr;
-      double v = std::strtod(p, &endp);
-      if (endp == p || std::isnan(v)) v = 0.0;
+      // Parse the field BOUNDED to [p, q): strtod on the raw pointer
+      // would skip '\n' as whitespace and, for a trailing empty field,
+      // silently pull the NEXT row's first value into this row.
+      double v = 0.0;
+      size_t len = static_cast<size_t>(q - p);
+      if (len > 0) {
+        char tmp[64];
+        if (len >= sizeof(tmp)) len = sizeof(tmp) - 1;
+        std::memcpy(tmp, p, len);
+        tmp[len] = '\0';
+        char* endp = nullptr;
+        v = std::strtod(tmp, &endp);
+        if (endp == tmp || std::isnan(v)) v = 0.0;
+      }
       out[written++] = static_cast<float>(v);
     }
     ++field;

@@ -107,6 +107,28 @@ def init_gat(cfg: GATTrainConfig, key: jax.Array):
 
 
 _FEATURE_CACHE: dict = {}
+_LR_STAGE_CACHE: dict = {}
+
+
+def stage_lr_cached(lr_np):
+    """Device-stage an LR stack, memoized per dataset bytes — the
+    fold-parallel trainer and the prediction pass both need the same
+    ~17 MB stack on device, and re-shipping it over the tunnelled
+    runtime is a fixed cost the module's own comments call dominant."""
+    import hashlib
+
+    lr_np = np.ascontiguousarray(lr_np, dtype=np.float32)
+    h = hashlib.sha1(lr_np.tobytes())
+    h.update(str(lr_np.shape).encode())
+    key = h.hexdigest()
+    hit = _LR_STAGE_CACHE.get(key)
+    if hit is None:
+        from fcsr_tpu.utils.transfer import device_put_fast
+        hit = device_put_fast(lr_np)
+        if len(_LR_STAGE_CACHE) >= 4:  # bound device-array residency
+            _LR_STAGE_CACHE.pop(next(iter(_LR_STAGE_CACHE)))
+        _LR_STAGE_CACHE[key] = hit
+    return hit
 
 
 def precompute_gat_features(lr_stack, dim: int):
@@ -603,7 +625,9 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
 
         def _put_rep(a):
             return jax.device_put(jnp.asarray(a), _rep_sh)
-    lr_d = _put_rep(lr_np)
+    # the LR stack is shared with the prediction pass (pipelines) — one
+    # staging per dataset, not one per trainer/predict call
+    lr_d = stage_lr_cached(lr_np) if mesh is None else _put_rep(lr_np)
     hr_d = _put_rep(hr_np)
     x_d = _put_rep(np.asarray(
         precompute_gat_features(lr_np, dim=cfg.dim))) if mesh is not None \

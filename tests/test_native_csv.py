@@ -68,3 +68,20 @@ def test_large_roundtrip_speed(rng, tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
     # don't assert on timing (CI variance); just record shapes
     assert got.shape == (167, 1000)
+
+
+def test_trailing_empty_and_nan_fields(tmp_path):
+    """Empty/NaN fields -> 0, INCLUDING a trailing empty field: an
+    unbounded strtod skips the newline as whitespace and silently pulls
+    the next row's first value into this row (found by review,
+    reproduced on the built library before the fix)."""
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,2,\n9,8,7\n,nan,5\n")
+    got = read_csv_float32(str(p), skip_first_col=False)
+    want = np.array([[1, 2, 0], [9, 8, 7], [0, 0, 5]], np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    # and pandas (the documented fallback semantics) agrees
+    import pandas as pd
+    ref = np.nan_to_num(pd.read_csv(p).to_numpy(np.float32), nan=0.0)
+    np.testing.assert_array_equal(ref, want)

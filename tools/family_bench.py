@@ -32,15 +32,19 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Round-2 recorded steady numbers (PERF.md "Other model families").
+# Round-2 recorded steady numbers (PERF.md "Other model families") and
+# the work-item counts of the workloads they were measured on — used to
+# scale vs_baseline when --splits/--epochs select a different workload
+# (a fixed-baseline division would inflate the "speedup" ~10x for
+# --epochs 10).
 R2_STEADY = {"gat": 43.9, "mlp": 297.0}
+R2_WORK = {"gat": 13304, "mlp": 33455}
 
 
 def _data():
-    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data import has_real_csvs, load_or_synthesize
     data_dir = os.environ.get("FCSR_DATA_DIR", "data")
-    is_synthetic = not os.path.exists(
-        os.path.join(data_dir, "lr_train.csv"))
+    is_synthetic = not has_real_csvs(data_dir)
     return load_or_synthesize(data_dir, n_train=167, n_test=112,
                               seed=42), is_synthetic
 
@@ -92,6 +96,11 @@ def main():
     from fcsr_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    # JAX_PLATFORMS via the config route (the TPU plugin ignores the env
+    # var) — same shim as bench.py / the CLI
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     data, is_synthetic = _data()
 
     def one_pass():
@@ -106,14 +115,18 @@ def main():
     t_cold, _, _ = one_pass()
     t_steady, mae, work = one_pass()
 
+    # scale the recorded baseline to THIS run's work so vs_baseline
+    # stays "speedup on the same workload" under --splits/--epochs
+    base_s = R2_STEADY[args.family] * work / R2_WORK[args.family]
     line = {
         "metric": f"connectomes/sec ({args.family} family, "
                   f"{args.splits}-fold x {args.epochs}ep train+infer)",
         "value": round(work / t_steady, 2),
         "unit": "connectomes/sec",
-        "vs_baseline": round(R2_STEADY[args.family] / t_steady, 3),
-        "baseline": f"round-2 steady {R2_STEADY[args.family]} s "
-                    "(PERF.md)",
+        "vs_baseline": round(base_s / t_steady, 3),
+        "baseline": f"round-2 steady {R2_STEADY[args.family]} s for "
+                    f"{R2_WORK[args.family]} work items (PERF.md), "
+                    "scaled to this workload",
         "elapsed_s": round(t_steady, 3),
         "cold_s": round(t_cold, 3),
         "splits": args.splits,
@@ -124,7 +137,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     out = args.out or os.path.join("outputs", args.family, "bench.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(line, f, indent=1)
         f.write("\n")
