@@ -93,7 +93,14 @@ def _impl(a, b):
         return mm_bf16x3_concat(a, b)
     if MODE == "bf16":
         return mm_bf16(a, b)
-    return mm_bf16x3(a, b)
+    if MODE == "bf16x3":
+        return mm_bf16x3(a, b)
+    # a typo'd FCSR_MM_MODE must not silently select a slower/different
+    # rounding mode — benches would report results for a mode the user
+    # never chose
+    raise ValueError(
+        f"unknown FCSR_MM_MODE={MODE!r}; expected 'bf16x3_concat', "
+        "'bf16' or 'bf16x3'")
 
 
 @jax.custom_vjp

@@ -42,6 +42,18 @@ def _window_lanes(n: int) -> int:
     return vregs * 128
 
 
+def _degree_normalize(a, n: int):
+    """In-kernel D^-1/2 A D^-1/2 matching core.normalize.normalize_adj's
+    guard EXACTLY: only the infinite r of a ZERO row sum is zeroed; a
+    negative row sum's NaN propagates, as in the XLA path (an isfinite
+    guard would silently zero rows where the reference loudly NaNs)."""
+    rowsum = jnp.sum(a, axis=1, keepdims=True)
+    r = jax.lax.rsqrt(rowsum)
+    r = jnp.where(rowsum == 0.0, 0.0, r)
+    return a * r * r.reshape(1, n)
+
+
+
 def _antivec_kernel(v_ref, out_ref, scratch, *, n: int, normalize: bool,
                     fill_diag: float):
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -67,10 +79,7 @@ def _antivec_kernel(v_ref, out_ref, scratch, *, n: int, normalize: bool,
         eye = jnp.eye(n, dtype=a.dtype)
         a = a * (1.0 - eye) + fill_diag * eye
     if normalize:
-        rowsum = jnp.sum(a, axis=1, keepdims=True)
-        r = jax.lax.rsqrt(rowsum)
-        r = jnp.where(jnp.isfinite(r), r, 0.0)
-        a = a * r * r.reshape(1, n)
+        a = _degree_normalize(a, n)
     out_ref[0] = a
 
 
@@ -170,10 +179,7 @@ def vectorize_colmajor_pallas(matrices, n: int = None,
 
 def _normalize_kernel(a_ref, out_ref):
     a = a_ref[0]
-    rowsum = jnp.sum(a, axis=1, keepdims=True)
-    r = jax.lax.rsqrt(rowsum)
-    r = jnp.where(jnp.isfinite(r), r, 0.0)
-    out_ref[0] = a * r * r.reshape(1, a.shape[0])
+    out_ref[0] = _degree_normalize(a, a.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

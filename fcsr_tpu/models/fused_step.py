@@ -74,8 +74,8 @@ from fcsr_tpu.models.gsr import pool_sizes
 from fcsr_tpu.core.mosaic_mm import mm as _mm
 
 __all__ = ["step_loss_pure", "step_value_and_grad_fused",
-           "unet_forward_rankselect", "unet_fused", "unet_fused_fwdbwd",
-           "gsr_step_loss_fused", "train_step_fused"]
+           "unet_forward_rankselect", "unet_fused", "unet_fused_fwdonly",
+           "unet_fused_fwdbwd", "gsr_step_loss_fused", "train_step_fused"]
 
 
 def _topk_projection(scores, k: int):
@@ -100,45 +100,17 @@ def unet_forward_rankselect(net_params, ks: Sequence[float], lr_dim: int):
     ``net_params``: the flax param subtree params['params']['net'].
     Returns (net_outs, start_gcn_outs).
     """
+    # one forward implementation: stage the flax subtree into the
+    # name->array dicts _unet_fwd_math consumes (bit-identical ops) and
+    # discard its residuals — a second hand-maintained copy of the
+    # forward math is exactly how silent path divergence starts
     sizes = pool_sizes(lr_dim, ks)
-
-    def lin(name, x):
-        p = net_params[name]["proj"]
-        return _mm(x, p["kernel"]) + p["bias"]
-
-    x = lin("start_gcn", jnp.eye(lr_dim, dtype=jnp.float32))
-    start_outs = x
-    org_x = x
-
-    projections = []
-    down_outs = []
-    for i in range(len(ks)):
-        x = lin(f"down_gcns_{i}", x)
-        down_outs.append(x)
-        p_pool = net_params[f"pools_{i}"]["proj"]
-        # bias add via an explicit ones-matmul: its adjoint is a matmul,
-        # sidestepping Mosaic's unsupported tiny odd-size lane reductions
-        # (vector.multi_reduction over e.g. (1, 61)) in the backward pass
-        n_i = x.shape[0]
-        ones_col = jnp.ones((n_i, 1), dtype=jnp.float32)
-        logits = (_mm(x, p_pool["kernel"])
-                  + _mm(ones_col, p_pool["bias"][None, :]))
-        scores = jax.nn.sigmoid(logits[:, 0] / 100.0)
-        proj = _topk_projection(scores, sizes[i])  # (k_i, n_i)
-        kept_scores = _mm(proj, scores[:, None])
-        x = _mm(proj, x) * kept_scores
-        projections.append(proj)
-
-    x = lin("bottom_gcn", x)
-
-    for i in range(len(ks)):
-        up = len(ks) - i - 1
-        x = _mm(projections[up].T, x)  # unpool
-        x = lin(f"up_gcns_{i}", x)
-        x = x + down_outs[up]
-
-    x = jnp.concatenate([x, org_x], axis=1)
-    net_outs = lin("end_gcn", x)
+    L = len(ks)
+    w = {name: net_params[name]["proj"]["kernel"]
+         for name in _lin_names(L)}
+    b = {name: net_params[name]["proj"]["bias"][None, :]
+         for name in _lin_names(L)}
+    net_outs, start_outs = _unet_fwd_math(w, b, lr_dim, sizes, L)[:2]
     return net_outs, start_outs
 
 
@@ -160,10 +132,11 @@ def step_loss_pure(params, a_norm, hr, u_lr, u_hr, ks: Sequence[float],
 def _make_unet_fused(ks: tuple, lr_dim: int, hr_dim: int,
                      interpret: bool, treedef_container: tuple):
     """Fused U-Net as custom_vjp: one fwd kernel, one bwd kernel (which
-    rematerializes the forward and runs jax.vjp in-kernel). The single
-    whole-step kernel (forward+backward of everything) crashes the TPU
-    compile service, so the step is split at the U-Net/tail boundary —
-    each half compiles fine."""
+    rematerializes the forward and runs jax.vjp in-kernel). Historical:
+    its AD-rematerializing bwd kernel is the slow-compile variant (the
+    "compile-service crash" was root-caused to a scoped-VMEM overflow,
+    see module STATUS); production paths use unet_fused_fwdonly or the
+    hand-written-adjoint unet_fused_fwdbwd instead."""
     (treedef,) = treedef_container
     n_leaves = treedef.num_leaves
 
@@ -342,6 +315,38 @@ def _lin_names(n_levels: int):
             + ["bottom_gcn"]
             + [f"up_gcns_{i}" for i in range(n_levels)]
             + ["end_gcn"])
+
+def _unet_leaf_shapes(lr_dim: int, hr_dim: int, L: int, tail: bool = False):
+    """Kernel-leaf ShapeDtypeStructs in _lin_names order — kernels (end
+    split into a/b halves) then staged (1, n) biases; ``tail=True``
+    appends the spectral tail's (w_gsr, w1, w2) leaves. This is the ONE
+    source of truth for the fused kernels' leaf order; the shape-
+    coincident (hr_dim, hr_dim) entries make a reorder undetectable at
+    trace time, so train/fast_loop.py's tree_to_leaves/leaves_to_tree
+    must mirror exactly this list."""
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    kernel_shapes = (
+        [sds((lr_dim, hr_dim), f32)]                           # start
+        + [sds((hr_dim, hr_dim), f32) for _ in range(L)]       # down
+        + [sds((hr_dim, 1), f32) for _ in range(L)]            # pool
+        + [sds((hr_dim, hr_dim), f32)]                         # bottom
+        + [sds((hr_dim, hr_dim), f32) for _ in range(L)]       # up
+        + [sds((hr_dim, hr_dim), f32)] * 2)                    # end a/b
+    bias_shapes = (
+        [sds((1, hr_dim), f32)]                                # start
+        + [sds((1, hr_dim), f32) for _ in range(L)]            # down
+        + [sds((1, 1), f32) for _ in range(L)]                 # pool
+        + [sds((1, hr_dim), f32)]                              # bottom
+        + [sds((1, hr_dim), f32) for _ in range(L)]            # up
+        + [sds((1, hr_dim), f32)])                             # end
+    shapes = kernel_shapes + bias_shapes
+    if tail:
+        shapes += [sds((hr_dim, lr_dim), f32),                 # d w_gsr
+                   sds((hr_dim, hr_dim), f32),                 # d w1
+                   sds((hr_dim, hr_dim), f32)]                 # d w2
+    return shapes
+
 
 
 def _unet_fwd_math(w, b, lr_dim: int, sizes, L: int):
@@ -563,26 +568,7 @@ def _make_unet_fwdbwd(ks: tuple, lr_dim: int, hr_dim: int, interpret: bool):
             ref[:] = gval
 
     def bwd_out_shapes():
-        kernel_shapes = (
-            [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)]           # start
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # down
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, 1), f32)               # pool
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]         # bottom
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # up
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)] * 2)    # end a/b
-        bias_shapes = (
-            [jax.ShapeDtypeStruct((1, hr_dim), f32)]                # start
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
-               for _ in range(L)]                                    # down
-            + [jax.ShapeDtypeStruct((1, 1), f32) for _ in range(L)]  # pool
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)]              # bottom
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
-               for _ in range(L)]                                    # up
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)])             # end
-        return tuple(kernel_shapes + bias_shapes)
+        return tuple(_unet_leaf_shapes(lr_dim, hr_dim, L))
 
     def pack(net_params):
         """params dict -> (kernels list, staged biases list) in name order."""
@@ -694,14 +680,20 @@ def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
             k += n
             return out
 
-        w_refs = take(n_mod)
+        # end_gcn ships ONLY as its two halves (the backward's natural
+        # operands); the forward concatenates them in-kernel — shipping
+        # the full matrix too would be ~575 KB of redundant HBM->VMEM
+        # traffic per step (same layout as _make_train_step_kernel)
+        w_refs = take(n_mod - 1)
         (wa_ref,), (wb_ref,) = take(1), take(1)
         b_refs = take(n_mod)
         (wg_ref,), (w1_ref,), (w2_ref,) = take(1), take(1), take(1)
         (ulr_ref,), (uhr_ref,), (hr_ref,) = take(1), take(1), take(1)
         outs = refs[k:]
 
-        w = {n: w_refs[j][:] for j, n in enumerate(names)}
+        w = {n: w_refs[j][:] for j, n in enumerate(names[:-1])}
+        wa, wb = wa_ref[:], wb_ref[:]
+        w["end_gcn"] = jnp.concatenate([wa, wb], axis=0)
         b = {n: b_refs[j][:] for j, n in enumerate(names)}
         net, x0, d, s, P, pooled, xu, xf, pre_l, ks_l = _unet_fwd_math(
             w, b, lr_dim, sizes, L)
@@ -719,7 +711,7 @@ def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
         ct_start = -g_l1
 
         grads = _unet_bwd_math(
-            wa_ref[:], wb_ref[:], w["bottom_gcn"],
+            wa, wb, w["bottom_gcn"],
             [w[f"down_gcns_{i}"] for i in range(L)],
             [w[f"up_gcns_{i}"] for i in range(L)],
             [w[f"pools_{i}"] for i in range(L)],
@@ -732,34 +724,12 @@ def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
             ref[:] = gval
 
     def out_shapes():
-        kernel_shapes = (
-            [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)]           # start
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # down
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, 1), f32)               # pool
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]         # bottom
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # up
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)] * 2)    # end a/b
-        bias_shapes = (
-            [jax.ShapeDtypeStruct((1, hr_dim), f32)]                # start
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
-               for _ in range(L)]                                    # down
-            + [jax.ShapeDtypeStruct((1, 1), f32) for _ in range(L)]  # pool
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)]              # bottom
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)
-               for _ in range(L)]                                    # up
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)])             # end
-        tail_shapes = [
-            jax.ShapeDtypeStruct((hr_dim, lr_dim), f32),            # d w_gsr
-            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32),            # d w1
-            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]            # d w2
         return tuple([jax.ShapeDtypeStruct((1, 1), f32)] * 2
-                     + kernel_shapes + bias_shapes + tail_shapes)
+                     + _unet_leaf_shapes(lr_dim, hr_dim, L, tail=True))
 
     def pack(net_params):
-        ws = [net_params[n]["proj"]["kernel"] for n in names]
+        # end_gcn ships only as its halves (concatenated in-kernel)
+        ws = [net_params[n]["proj"]["kernel"] for n in names[:-1]]
         bs = [net_params[n]["proj"]["bias"][None, :] for n in names]
         w_end = net_params["end_gcn"]["proj"]["kernel"]
         return ws, [w_end[:hr_dim], w_end[hr_dim:]], bs
@@ -768,7 +738,7 @@ def _make_step_fused_full(ks: tuple, lr_dim: int, hr_dim: int,
 
     def run(net_params, w_gsr, w1, w2, u_lr, u_hr, hr):
         ws, (wa, wb), bs = pack(net_params)
-        n_in = 2 * n_mod + 2 + 6
+        n_in = 2 * n_mod + 1 + 6
         outs = pl.pallas_call(
             kernel, in_specs=[vmem] * n_in,
             out_specs=tuple([smem, smem] + [vmem] * (len(shapes) - 2)),
@@ -815,7 +785,12 @@ def gsr_step_loss_fused(net_params, w_gsr, w1, w2, u_lr, u_hr, hr,
     non-differentiable metric aux."""
     fn = _make_step_fused_full(tuple(ks), lr_dim, hr_dim, float(lmbda),
                                bool(interpret))
-    return fn(net_params, w_gsr, w1, w2, u_lr, u_hr, hr)
+    loss, recon = fn(net_params, w_gsr, w1, w2, u_lr, u_hr, hr)
+    # make the "recon is a metric, not a loss term" contract visible to
+    # JAX: the custom_vjp discards recon's cotangent, so a caller who
+    # differentiates a recon-weighted objective must see the standard
+    # stop_gradient semantics rather than a silent drop inside bwd
+    return loss, jax.lax.stop_gradient(recon)
 
 
 # ---------------------------------------------------------------------------
@@ -937,28 +912,7 @@ def _make_train_step_kernel(ks: tuple, lr_dim: int, hr_dim: int,
             v_outs[j][:] = jnp.where(okf > 0, v_new, v_v)
 
     def leaf_shapes():
-        kernel_shapes = (
-            [jax.ShapeDtypeStruct((lr_dim, hr_dim), f32)]           # start
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # down
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, 1), f32)               # pool
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]         # bottom
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)          # up
-               for _ in range(L)]
-            + [jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)] * 2)    # end a/b
-        bias_shapes = (
-            [jax.ShapeDtypeStruct((1, hr_dim), f32)]
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32) for _ in range(L)]
-            + [jax.ShapeDtypeStruct((1, 1), f32) for _ in range(L)]
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)]
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32) for _ in range(L)]
-            + [jax.ShapeDtypeStruct((1, hr_dim), f32)])
-        tail_shapes = [
-            jax.ShapeDtypeStruct((hr_dim, lr_dim), f32),
-            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32),
-            jax.ShapeDtypeStruct((hr_dim, hr_dim), f32)]
-        return kernel_shapes + bias_shapes + tail_shapes
+        return _unet_leaf_shapes(lr_dim, hr_dim, L, tail=True)
 
     shapes = leaf_shapes()
     out_shapes = tuple([jax.ShapeDtypeStruct((1, 1), f32)] * 2

@@ -45,7 +45,6 @@ def _tail_loss(w_gsr, w1, w2, f, u_lr, u_hr, hr):
     Returns the scalar sum of the two data-dependent loss terms (the
     lmbda * L1(net_outs, start_gcn_outs) term involves only U-Net tensors
     and stays outside the kernel)."""
-    hr_dim = w_gsr.shape[0]
     b_small = _mm(w_gsr, u_lr.T)
     f_d = jnp.abs(_mm(b_small, f))
     f_d = fill_diagonal(f_d, 1.0)

@@ -92,3 +92,22 @@ def test_vectorize_antivectorize_kernel_roundtrip(rng):
     got = np.asarray(vectorize_colmajor_pallas(dense, interpret=True))
     want = np.asarray(vectorize_batch(anti_vectorize_batch(v, n)))
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_normalize_guard_matches_xla_on_negative_rowsum():
+    """The kernel's zero-degree guard must mirror normalize_adj exactly:
+    a ZERO row sum is zeroed, a NEGATIVE row sum's NaN propagates (an
+    isfinite guard silently zeroed such rows where the XLA path loudly
+    NaNs)."""
+    from fcsr_tpu.core.normalize import normalize_adj
+    from fcsr_tpu.core.pallas_kernels import normalize_adj_pallas
+
+    a = np.zeros((1, 8, 8), np.float32)
+    a[0, 0, 1] = a[0, 1, 0] = -1.0   # negative row sums for rows 0/1
+    a[0, 2, 3] = a[0, 3, 2] = 0.5    # normal rows
+    # rows 4..7 are all-zero -> zero degree
+    want = np.asarray(normalize_adj(a[0]))
+    got = np.asarray(normalize_adj_pallas(a, interpret=True))[0]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    mask = ~np.isnan(want)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-6)
