@@ -29,8 +29,11 @@ def main():
         if not os.path.exists(path):
             print(f"skipping {run}: no eval_metrics.json")
             continue
+        key = os.path.basename(run.rstrip("/"))
+        if key in per_model:  # two runs sharing a leaf name: keep both
+            key = run.rstrip("/").replace(os.sep, "_")
         with open(path) as f:
-            per_model[os.path.basename(run.rstrip("/"))] = json.load(f)
+            per_model[key] = json.load(f)
 
     if not per_model:
         print("nothing to plot")

@@ -23,7 +23,14 @@ def main():
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--full-metrics", action="store_true")
+    ap.add_argument("--eval-backend", default="device",
+                    choices=["device", "networkx"])
     args = ap.parse_args()
+
+    from examples._common import setup_runtime
+    setup_runtime()
+
+    import json
 
     from fcsr_tpu.data import load_or_synthesize
     from fcsr_tpu.iox import save_prediction, save_pytree
@@ -38,10 +45,17 @@ def main():
 
     runner = run_gsr_cv_fast if args.fast else run_gsr_cv
     result = runner(data, cfg, splits=args.splits,
-                    full_metrics=args.full_metrics)
+                    full_metrics=args.full_metrics,
+                    eval_backend=args.eval_backend)
 
     os.makedirs(args.out_dir, exist_ok=True)
     print("fold MAEs:", result["fold_maes"], "mean:", result["mean_mae"])
+    if result.get("fold_metrics"):
+        # eval_metrics.json: what three_fold_vis.py consumes (and the
+        # reference's own artifact, outputs/*/eval_metrics.json)
+        with open(os.path.join(args.out_dir, "eval_metrics.json"),
+                  "w") as f:
+            json.dump(result["fold_metrics"], f, indent=2)
     save_pytree(result["params"],
                 os.path.join(args.out_dir, "gsr_net_trained.msgpack"))
     if "loss_hist" in result:

@@ -23,6 +23,9 @@ def main():
                     choices=["device", "networkx"])
     args = ap.parse_args()
 
+    from examples._common import setup_runtime
+    setup_runtime()
+
     from fcsr_tpu.data import load_or_synthesize
     from fcsr_tpu.iox import save_prediction
     from fcsr_tpu.pipelines import run_gat_cv
