@@ -125,6 +125,29 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    # fail FAST and diagnosably when the tunnelled device is stalled
+    # (observed: multi-hour outages where any device op blocks forever
+    # at zero CPU) instead of hanging into the caller's opaque timeout.
+    # A degraded-but-alive tunnel (first op ~11 s) passes comfortably.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        import jax.numpy as jnp
+        x = jnp.ones((64, 64))
+        (x @ x).block_until_ready()
+        probe_ok.set()
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    timeout_s = float(os.environ.get("FCSR_BENCH_PROBE_TIMEOUT", "120"))
+    if not probe_ok.wait(timeout=timeout_s):
+        raise SystemExit(
+            f"device probe did not complete within {timeout_s:.0f}s — "
+            "the TPU tunnel looks stalled (see tools/tpu_probe.py); "
+            "retry when it recovers")
+
     import numpy as np
 
     from fcsr_tpu.data import load_or_synthesize
