@@ -126,27 +126,10 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     # fail FAST and diagnosably when the tunnelled device is stalled
-    # (observed: multi-hour outages where any device op blocks forever
-    # at zero CPU) instead of hanging into the caller's opaque timeout.
-    # A degraded-but-alive tunnel (first op ~11 s) passes comfortably.
-    import threading
-
-    probe_ok = threading.Event()
-
-    def _probe():
-        import jax.numpy as jnp
-        x = jnp.ones((64, 64))
-        (x @ x).block_until_ready()
-        probe_ok.set()
-
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    timeout_s = float(os.environ.get("FCSR_BENCH_PROBE_TIMEOUT", "120"))
-    if not probe_ok.wait(timeout=timeout_s):
-        raise SystemExit(
-            f"device probe did not complete within {timeout_s:.0f}s — "
-            "the TPU tunnel looks stalled (see tools/tpu_probe.py); "
-            "retry when it recovers")
+    # (observed: multi-hour outages) instead of hanging into the
+    # caller's opaque timeout
+    from fcsr_tpu.utils.probe import require_live_device
+    require_live_device()
 
     import numpy as np
 

@@ -101,6 +101,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    # dead-tunnel fail-fast (see utils/probe.py)
+    from fcsr_tpu.utils.probe import require_live_device
+    require_live_device()
+
     data, is_synthetic = _data()
 
     def one_pass():
