@@ -151,13 +151,20 @@ def main():
     # this scale (pinned for the full config only).
     tiny = os.environ.get("FCSR_BENCH_TINY") == "1"
     if tiny:
-        # always the synthetic teacher (real CSVs are full-size only)
-        is_synthetic = True
         os.environ.setdefault("FCSR_BENCH_GOLDEN_MAE", "0")
-        data = load_or_synthesize(None, n_train=9, n_test=1, seed=42)
-        data = dict(data,
-                    lr_train=data["lr_train"][:, :20, :20].copy(),
-                    hr_train=data["hr_train"][:, :32, :32].copy())
+        if is_synthetic:
+            data = load_or_synthesize(None, n_train=9, n_test=1, seed=42)
+            data = dict(data,
+                        lr_train=data["lr_train"][:, :20, :20].copy(),
+                        hr_train=data["hr_train"][:, :32, :32].copy())
+        else:
+            # tiny + CSVs on disk: the REAL-DATA branch end-to-end
+            # (native parser -> anti-vectorize -> reference-MAE gate) at
+            # whatever resolution the CSVs carry — CI runs this on
+            # reduced-size Kaggle-schema files
+            # (tests/test_bench_quality.py)
+            from fcsr_tpu.data import load_dataset
+            data = load_dataset(data_dir)
     else:
         data = load_or_synthesize(data_dir, n_train=167, n_test=112,
                                   seed=42)
@@ -169,8 +176,11 @@ def main():
     # three-kernel path, tested). Eliminating the flat-Adam marshalling
     # is worth ~115 us/step: 7.28 -> 4.72 s steady (PERF.md).
     if tiny:
-        cfg = GSRTrainConfig(fused_adam=True, lr_dim=20, hr_dim=32,
-                             hidden_dim=32, ks=(0.9, 0.7))
+        lr_dim = int(data["lr_train"].shape[-1])
+        hr_dim = int(data["hr_train"].shape[-1])
+        cfg = GSRTrainConfig(fused_adam=True, lr_dim=lr_dim,
+                             hr_dim=hr_dim, hidden_dim=hr_dim,
+                             ks=(0.9, 0.7))
     else:
         cfg = GSRTrainConfig(fused_adam=True)
     if os.environ.get("FCSR_BENCH_EPOCHS"):
@@ -241,6 +251,9 @@ def main():
         "value": round(rate, 2),
         "unit": "connectomes/sec",
         "vs_baseline": round(rate / (work / 60.0), 3),
+        "baseline": "60 s north-star budget for this workload "
+                    "(BASELINE.md; same per-work-item semantics as "
+                    "tools/family_bench.py)",
         "elapsed_s": round(t_steady, 3),
         "cold_s": round(t_cold, 3),
         "stage_s": round(t_stage, 3),

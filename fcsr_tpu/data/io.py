@@ -20,7 +20,8 @@ LR_DIM = 160
 HR_DIM = 268
 
 __all__ = ["load_csv_vectors", "load_dataset", "load_or_synthesize",
-           "has_real_csvs", "LR_DIM", "HR_DIM"]
+           "has_real_csvs", "matrix_size_for", "write_kaggle_csvs",
+           "LR_DIM", "HR_DIM"]
 
 
 def has_real_csvs(data_dir: Optional[str]) -> bool:
@@ -70,6 +71,20 @@ def _to_matrices(vectors: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(anti_vectorize_batch(vectors.astype(np.float32), size))
 
 
+def matrix_size_for(vec_len: int) -> int:
+    """Node count n with n(n-1)/2 == vec_len (strict upper triangle).
+
+    The reference hardcodes 160/268 (ref: utils/preprocessing.py:66);
+    inferring from the row length keeps the real Kaggle path identical
+    (12720 -> 160, 35778 -> 268) while letting reduced-size CSVs run the
+    SAME ingestion code end-to-end in CI."""
+    n = int(round((1 + (1 + 8 * vec_len) ** 0.5) / 2))
+    if n * (n - 1) // 2 != vec_len:
+        raise ValueError(
+            f"row length {vec_len} is not a strict-upper-triangle length")
+    return n
+
+
 _CSV_NAMES = ("lr_train.csv", "hr_train.csv", "lr_test.csv")
 
 
@@ -99,13 +114,18 @@ def load_dataset(data_dir: str, cache: bool = True) -> Dict[str, np.ndarray]:
         with np.load(cache_path) as z:
             if "_fingerprint" in z.files and str(z["_fingerprint"]) == fp:
                 return {k: z[k] for k in z.files if k != "_fingerprint"}
+    vecs = {name[:-4]: load_csv_vectors(os.path.join(data_dir, name))
+            for name in _CSV_NAMES}
+    # sizes inferred from the row lengths (160/268 for the real Kaggle
+    # files); lr_test must match lr_train's resolution
+    lr_dim = matrix_size_for(vecs["lr_train"].shape[1])
+    hr_dim = matrix_size_for(vecs["hr_train"].shape[1])
+    if vecs["lr_test"].shape[1] != vecs["lr_train"].shape[1]:
+        raise ValueError("lr_test.csv row length differs from lr_train.csv")
     out = {
-        "lr_train": _to_matrices(
-            load_csv_vectors(os.path.join(data_dir, "lr_train.csv")), LR_DIM),
-        "hr_train": _to_matrices(
-            load_csv_vectors(os.path.join(data_dir, "hr_train.csv")), HR_DIM),
-        "lr_test": _to_matrices(
-            load_csv_vectors(os.path.join(data_dir, "lr_test.csv")), LR_DIM),
+        "lr_train": _to_matrices(vecs["lr_train"], lr_dim),
+        "hr_train": _to_matrices(vecs["hr_train"], hr_dim),
+        "lr_test": _to_matrices(vecs["lr_test"], lr_dim),
     }
     if cache:
         try:
@@ -113,6 +133,36 @@ def load_dataset(data_dir: str, cache: bool = True) -> Dict[str, np.ndarray]:
         except OSError:
             pass
     return out
+
+
+def write_kaggle_csvs(data: Dict[str, np.ndarray], out_dir: str,
+                      nan_frac: float = 0.001, seed: int = 0) -> None:
+    """Emit a dataset dict as Kaggle-schema CSVs that ``load_dataset``
+    (and the reference's ``extract_data``, ref: utils/preprocessing.py:
+    35-75) ingest identically: one row per subject, a leading 1-based
+    ``ID`` column, strict-upper-triangle values in ROW-MAJOR order (the
+    ordering ``MatrixVectorizer.anti_vectorize`` inverts, ref:
+    utils/matrix_vectorizer.py:74-88), and a deterministic sprinkle of
+    NaN cells exercising the NaN->0 rule (ref: utils/preprocessing.py:
+    63). Used to run the real-CSV branch of the pipeline (native C++
+    parser -> batched anti-vectorize -> quality gates) before the
+    private challenge data is available."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in _CSV_NAMES:
+        mats = np.asarray(data[name[:-4]], dtype=np.float32)
+        n = mats.shape[-1]
+        iu = np.triu_indices(n, k=1)
+        vecs = mats[:, iu[0], iu[1]].astype(np.float64)
+        if nan_frac > 0:
+            mask = rng.random(vecs.shape) < nan_frac
+            vecs[mask] = np.nan
+        header = "ID," + ",".join(f"v{j}" for j in range(vecs.shape[1]))
+        ids = np.arange(1, len(vecs) + 1, dtype=np.float64)[:, None]
+        np.savetxt(os.path.join(out_dir, name),
+                   np.concatenate([ids, vecs], axis=1),
+                   delimiter=",", header=header, comments="",
+                   fmt="%.9g")
 
 
 def load_or_synthesize(data_dir: Optional[str] = None,

@@ -32,6 +32,7 @@ import numpy as np
 
 __all__ = ["flax_to_reference_state", "reference_state_to_flax",
            "gat_reference_state_to_flax", "flax_to_gat_reference_state",
+           "mlp_reference_state_to_flax", "flax_to_mlp_reference_state",
            "N_UNET_LEVELS"]
 
 N_UNET_LEVELS = 4  # len(ks) in the shipped config (training_gsr.ipynb)
@@ -173,4 +174,109 @@ def flax_to_gat_reference_state(params) -> Dict[str, np.ndarray]:
     up = p["upsampler"]["upsample_mlp"]
     out["upsampler.upsample_mlp.weight"] = np.asarray(up["kernel"]).T
     out["upsampler.upsample_mlp.bias"] = np.asarray(up["bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SpectralResMLP (v2) family (ref: training_template.ipynb cell 334b874b)
+# ---------------------------------------------------------------------------
+# Reference torch names (legacy ``torch.nn.utils.spectral_norm`` wrapper):
+#   input_layer.1.{weight_orig,bias,weight_u,weight_v}   Linear(L_in, h)
+#   input_layer.2.{weight,bias,running_mean,running_var} BatchNorm1d(h)
+#   residual_blocks.{i}.0.*  /  residual_blocks.{i}.1.*  (n_layers blocks)
+#   output_layer.0.{weight_orig,bias,weight_u,weight_v}  Linear(h, L_out)
+# torch stores weight_u AND weight_v; flax's nn.SpectralNorm stores only
+# ``u`` (1, out) and recomputes v = normalize(u @ W_kernel^T) from it
+# each call — exactly the v torch's next power iteration derives from
+# its stored u, so dropping weight_v loses nothing on the train path.
+# The stored ``sigma`` is recomputed before use on every call, so its
+# transplanted value is cosmetic (set to 1).
+
+
+def _mlp_n_layers(state: Mapping) -> int:
+    return len({k.split(".")[1] for k in state
+                if k.startswith("residual_blocks.")})
+
+
+def mlp_reference_state_to_flax(state: Mapping[str, np.ndarray],
+                                dtype=np.float32):
+    """Notebook SuperResMLP-v2 torch ``state_dict`` (numpy-valued) ->
+    our SpectralResMLP variables {'params', 'batch_stats'}."""
+    def arr(key):
+        return np.asarray(state[key], dtype=dtype)
+
+    def sn_linear(tprefix):
+        return {"kernel": arr(f"{tprefix}.weight_orig").T,
+                "bias": arr(f"{tprefix}.bias")}
+
+    def bn(tprefix):
+        return ({"scale": arr(f"{tprefix}.weight"),
+                 "bias": arr(f"{tprefix}.bias")},
+                {"mean": arr(f"{tprefix}.running_mean"),
+                 "var": arr(f"{tprefix}.running_var")})
+
+    n_layers = _mlp_n_layers(state)
+    params = {"input_dense": sn_linear("input_layer.1")}
+    stats = {}
+    params["input_bn"], stats["input_bn"] = bn("input_layer.2")
+    sn = {"SpectralNorm_0": {
+        "input_dense/kernel/u": arr("input_layer.1.weight_u")[None],
+        "input_dense/kernel/sigma": np.asarray(1.0, dtype)}}
+    for i in range(n_layers):
+        params[f"res_dense_{i}"] = sn_linear(f"residual_blocks.{i}.0")
+        params[f"res_bn_{i}"], stats[f"res_bn_{i}"] = bn(
+            f"residual_blocks.{i}.1")
+        sn[f"SpectralNorm_{i + 1}"] = {
+            f"res_dense_{i}/kernel/u":
+                arr(f"residual_blocks.{i}.0.weight_u")[None],
+            f"res_dense_{i}/kernel/sigma": np.asarray(1.0, dtype)}
+    params["output_dense"] = sn_linear("output_layer.0")
+    sn[f"SpectralNorm_{n_layers + 1}"] = {
+        "output_dense/kernel/u": arr("output_layer.0.weight_u")[None],
+        "output_dense/kernel/sigma": np.asarray(1.0, dtype)}
+    return {"params": params, "batch_stats": {**stats, **sn}}
+
+
+def _l2n(x, eps=1e-12):
+    return x / max(float(np.linalg.norm(x)), eps)
+
+
+def flax_to_mlp_reference_state(variables) -> Dict[str, np.ndarray]:
+    """Inverse of mlp_reference_state_to_flax (round-trip tested).
+    ``weight_v`` is derived as normalize(W^T u) — the value torch itself
+    would hold after its next power iteration from the same u."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    n_layers = sum(1 for k in p if k.startswith("res_dense_"))
+
+    def sn_find_u(dense_name):
+        for coll in bs.values():
+            key = f"{dense_name}/kernel/u"
+            if isinstance(coll, Mapping) and key in coll:
+                return np.asarray(coll[key])[0]
+        raise KeyError(dense_name)
+
+    out: Dict[str, np.ndarray] = {}
+
+    def put_sn_linear(tprefix, dense_name):
+        w = np.asarray(p[dense_name]["kernel"]).T     # torch (out, in)
+        u = sn_find_u(dense_name)
+        out[f"{tprefix}.weight_orig"] = w
+        out[f"{tprefix}.bias"] = np.asarray(p[dense_name]["bias"])
+        out[f"{tprefix}.weight_u"] = u
+        out[f"{tprefix}.weight_v"] = _l2n(w.T @ u)
+
+    def put_bn(tprefix, bn_name):
+        out[f"{tprefix}.weight"] = np.asarray(p[bn_name]["scale"])
+        out[f"{tprefix}.bias"] = np.asarray(p[bn_name]["bias"])
+        out[f"{tprefix}.running_mean"] = np.asarray(bs[bn_name]["mean"])
+        out[f"{tprefix}.running_var"] = np.asarray(bs[bn_name]["var"])
+        out[f"{tprefix}.num_batches_tracked"] = np.asarray(0)
+
+    put_sn_linear("input_layer.1", "input_dense")
+    put_bn("input_layer.2", "input_bn")
+    for i in range(n_layers):
+        put_sn_linear(f"residual_blocks.{i}.0", f"res_dense_{i}")
+        put_bn(f"residual_blocks.{i}.1", f"res_bn_{i}")
+    put_sn_linear("output_layer.0", "output_dense")
     return out

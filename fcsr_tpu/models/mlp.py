@@ -19,13 +19,56 @@ reference's boolean-mask gather.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fcsr_tpu.core.vectorize import triu_indices_rowmajor
 from fcsr_tpu.models.gsr import torch_linear_init
 
-__all__ = ["SuperResMLP", "SpectralResMLP"]
+__all__ = ["SuperResMLP", "SpectralResMLP", "TorchBatchNorm"]
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with ``torch.nn.BatchNorm1d``'s exact running-stat
+    semantics. flax's ``nn.BatchNorm`` updates the running variance with
+    the BIASED batch variance; torch updates it with the UNBIASED
+    estimator (x n/(n-1)) while still normalizing the batch with the
+    biased one. The difference only surfaces in eval-mode forwards
+    (running stats), but that is exactly where val losses — and through
+    them the plateau scheduler and the best-state choice (ref:
+    utils/training.py:114-145) — come from, so the reference models use
+    this module for transplant-grade parity. Variable names/shapes match
+    ``nn.BatchNorm`` (params: scale/bias; batch_stats: mean/var), so
+    checkpoints are interchangeable."""
+    momentum: float = 0.9       # running <- m*running + (1-m)*batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(feat, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(feat, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        if use_running_average:
+            mean = jnp.asarray(ra_mean.value, x.dtype)
+            var = jnp.asarray(ra_var.value, x.dtype)
+        else:
+            n = x.size // feat
+            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+            var = jnp.mean(jnp.square(x), axis=tuple(
+                range(x.ndim - 1))) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+        inv = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, x.dtype))
+        return (x - mean) * inv * scale + bias
 
 
 class SuperResMLP(nn.Module):
@@ -46,8 +89,8 @@ class SuperResMLP(nn.Module):
             x = nn.Dense(self.hidden_dim,
                          kernel_init=torch_linear_init(widths[i]),
                          bias_init=torch_linear_init(widths[i]))(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(x)
+            x = TorchBatchNorm(momentum=0.9, epsilon=1e-5)(
+                x, use_running_average=not train)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = nn.relu(x)
         x = nn.Dense(self.output_size,
@@ -101,8 +144,8 @@ class SpectralResMLP(nn.Module):
 
         x = sn_dense(self.num_hidden, "input_dense")(
             x, update_stats=train)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="input_bn")(x)
+        x = TorchBatchNorm(momentum=0.9, epsilon=1e-5,
+                           name="input_bn")(x, use_running_average=not train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
 
@@ -110,8 +153,9 @@ class SpectralResMLP(nn.Module):
             residual = x
             y = sn_dense(self.num_hidden, f"res_dense_{i}")(
                 x, update_stats=train)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"res_bn_{i}")(y)
+            y = TorchBatchNorm(momentum=0.9, epsilon=1e-5,
+                               name=f"res_bn_{i}")(
+                y, use_running_average=not train)
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
             y = nn.leaky_relu(y, negative_slope=0.01)
             x = y + residual

@@ -27,6 +27,28 @@ __all__ = ["run_gsr_cv", "run_gsr_cv_fast", "run_mlp_cv", "run_gat_cv",
 _PREDICT_PROGRAMS: dict = {}
 
 
+def _fit_cfg_to_data(cfg, lr_all, hr_all):
+    """Re-derive a config's node dims from the loaded dataset when they
+    mismatch. The reference hardcodes 160/268 (ref: utils/
+    preprocessing.py:66) and the config defaults match; reduced-size
+    Kaggle-schema CSV sets (CI, tools/make_teacher_csvs.py --tiny) carry
+    other resolutions, and mismatched dims can only crash inside the
+    model. GSR keeps the reference's hidden_dim == hr_dim coupling
+    (ref: training_gsr.ipynb cell-4)."""
+    import dataclasses
+
+    lr_dim = int(lr_all.shape[-1])
+    hr_dim = int(hr_all.shape[-1])
+    if isinstance(cfg, GSRTrainConfig):
+        if (cfg.lr_dim, cfg.hr_dim) == (lr_dim, hr_dim):
+            return cfg
+        return dataclasses.replace(cfg, lr_dim=lr_dim, hr_dim=hr_dim,
+                                   hidden_dim=hr_dim)
+    if (cfg.n_nodes, cfg.m_nodes) == (lr_dim, hr_dim):
+        return cfg
+    return dataclasses.replace(cfg, n_nodes=lr_dim, m_nodes=hr_dim)
+
+
 def _model_predict_program(model):
     fn = _PREDICT_PROGRAMS.get(model)
     if fn is None:
@@ -148,6 +170,7 @@ def run_gat_cv(data: Dict[str, np.ndarray], splits: int = 3,
     cfg = cfg or GATTrainConfig()
     lr_all = np.asarray(data["lr_train"], dtype=np.float32)
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    cfg = _fit_cfg_to_data(cfg, lr_all, hr_all)
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
     fold_metrics, histories = [], []
@@ -196,6 +219,7 @@ def run_gat_cv_fast(data: Dict[str, np.ndarray],
     cfg = cfg or GATTrainConfig()
     lr_all = np.asarray(data["lr_train"], dtype=np.float32)
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    cfg = _fit_cfg_to_data(cfg, lr_all, hr_all)
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
     mesh = None
@@ -275,6 +299,7 @@ def run_gsr_cv_fast(data: Dict[str, np.ndarray],
     cfg = cfg or GSRTrainConfig()
     lr_all = np.asarray(data["lr_train"], dtype=np.float32)
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    cfg = _fit_cfg_to_data(cfg, lr_all, hr_all)
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
     mesh = None
@@ -352,6 +377,7 @@ def run_gsr_cv(data: Dict[str, np.ndarray],
     cfg = cfg or GSRTrainConfig()
     lr_all = np.asarray(data["lr_train"], dtype=np.float32)
     hr_all = np.asarray(data["hr_train"], dtype=np.float32)
+    cfg = _fit_cfg_to_data(cfg, lr_all, hr_all)
     folds = kfold_indices(len(lr_all), splits, seed=seed)
 
     key = jax.random.PRNGKey(init_seed)

@@ -165,3 +165,49 @@ def test_synth_test_split_same_parcellation_train_unchanged():
     train_mean = lr1.mean(axis=0).ravel()
     c = np.corrcoef(train_mean, lr_te.mean(axis=0).ravel())[0, 1]
     assert c > 0.8, c
+
+
+def test_matrix_size_for():
+    from fcsr_tpu.data import matrix_size_for
+    assert matrix_size_for(12720) == 160   # real Kaggle LR
+    assert matrix_size_for(35778) == 268   # real Kaggle HR
+    assert matrix_size_for(190) == 20
+    with pytest.raises(ValueError):
+        matrix_size_for(191)
+
+
+def test_write_kaggle_csvs_roundtrip(tmp_path):
+    """write_kaggle_csvs -> load_dataset round-trips exactly (nan_frac=0)
+    and, with a NaN sprinkle, differs from the source ONLY at zeroed
+    cells at about the requested rate — validating the emitted schema
+    against the very ingestion path (native parser included) the real
+    Kaggle CSVs will take."""
+    from fcsr_tpu.data import load_or_synthesize, write_kaggle_csvs
+
+    data = load_or_synthesize(None, n_train=6, n_test=2, seed=7)
+    data = dict(data,
+                lr_train=data["lr_train"][:, :20, :20].copy(),
+                hr_train=data["hr_train"][:, :32, :32].copy(),
+                lr_test=data["lr_test"][:, :20, :20].copy())
+
+    exact_dir = tmp_path / "exact"
+    write_kaggle_csvs(data, str(exact_dir), nan_frac=0.0)
+    loaded = load_dataset(str(exact_dir), cache=False)
+    for k in ("lr_train", "hr_train", "lr_test"):
+        # anti-vectorize zeroes the diagonal; the teacher set has
+        # zero-diagonal matrices already, so equality is exact up to
+        # the %.9g text round-trip
+        np.testing.assert_allclose(loaded[k], data[k], atol=5e-7)
+
+    nan_dir = tmp_path / "nan"
+    write_kaggle_csvs(data, str(nan_dir), nan_frac=0.02, seed=3)
+    loaded = load_dataset(str(nan_dir), cache=False)
+    diff = loaded["hr_train"] != data["hr_train"]
+    assert diff.any(), "NaN sprinkle produced no zeroed cells"
+    # every mismatching cell was zeroed (NaN->0 rule), symmetrically
+    assert np.all(loaded["hr_train"][diff] == 0.0)
+    np.testing.assert_array_equal(diff, np.swapaxes(diff, -1, -2))
+    # rate ~ nan_frac of off-diagonal cells (binomial slack)
+    n = data["hr_train"].shape[-1]
+    frac = diff.sum() / (diff.shape[0] * n * (n - 1))
+    assert 0.005 < frac < 0.05, frac

@@ -238,3 +238,55 @@ def test_train_model_validate_every(rng):
                                 seed=1)
     assert len(th) == 5
     assert len(vh) == 3 == len(lh)  # epochs 2, 4 and the final 5th
+
+
+def test_torch_batchnorm_matches_torch_exactly():
+    """TorchBatchNorm vs torch.nn.BatchNorm1d: train-mode outputs,
+    running stats after several steps (torch updates running_var with
+    the UNBIASED batch variance — flax's nn.BatchNorm does not), and
+    eval-mode outputs, all to f32 tolerance."""
+    import torch
+
+    from fcsr_tpu.models.mlp import TorchBatchNorm
+
+    rng = np.random.default_rng(0)
+    feat, batches = 7, [5, 8, 3]
+    xs = [rng.normal(size=(b, feat)).astype(np.float32) for b in batches]
+
+    tbn = torch.nn.BatchNorm1d(feat, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(
+            rng.normal(size=feat).astype(np.float32)))
+        tbn.bias.copy_(torch.from_numpy(
+            rng.normal(size=feat).astype(np.float32)))
+
+    model = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
+    variables = model.init(jax.random.PRNGKey(0), xs[0],
+                           use_running_average=False)
+    variables = {
+        "params": {"scale": tbn.weight.detach().numpy(),
+                   "bias": tbn.bias.detach().numpy()},
+        "batch_stats": variables["batch_stats"],
+    }
+
+    tbn.train()
+    for x in xs:
+        t_out = tbn(torch.from_numpy(x)).detach().numpy()
+        j_out, updates = model.apply(variables, x,
+                                     use_running_average=False,
+                                     mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": updates["batch_stats"]}
+        np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-6)
+
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-6, atol=1e-7)
+
+    tbn.eval()
+    x = rng.normal(size=(4, feat)).astype(np.float32)
+    t_out = tbn(torch.from_numpy(x)).detach().numpy()
+    j_out = model.apply(variables, x, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-6)
