@@ -185,12 +185,9 @@ def flax_to_gat_reference_state(params) -> Dict[str, np.ndarray]:
 #   input_layer.2.{weight,bias,running_mean,running_var} BatchNorm1d(h)
 #   residual_blocks.{i}.0.*  /  residual_blocks.{i}.1.*  (n_layers blocks)
 #   output_layer.0.{weight_orig,bias,weight_u,weight_v}  Linear(h, L_out)
-# torch stores weight_u AND weight_v; flax's nn.SpectralNorm stores only
-# ``u`` (1, out) and recomputes v = normalize(u @ W_kernel^T) from it
-# each call — exactly the v torch's next power iteration derives from
-# its stored u, so dropping weight_v loses nothing on the train path.
-# The stored ``sigma`` is recomputed before use on every call, so its
-# transplanted value is cosmetic (set to 1).
+# torch stores weight_u AND weight_v; our SNDense (models/mlp.py) mirrors
+# that exactly (batch_stats: u (out,), v (in,) scoped under the dense's
+# own name), including torch's frozen-(u,v) eval-mode sigma.
 
 
 def _mlp_n_layers(state: Mapping) -> int:
@@ -217,54 +214,36 @@ def mlp_reference_state_to_flax(state: Mapping[str, np.ndarray],
 
     n_layers = _mlp_n_layers(state)
     params = {"input_dense": sn_linear("input_layer.1")}
-    stats = {}
+    stats = {"input_dense": {"u": arr("input_layer.1.weight_u"),
+                             "v": arr("input_layer.1.weight_v")}}
     params["input_bn"], stats["input_bn"] = bn("input_layer.2")
-    sn = {"SpectralNorm_0": {
-        "input_dense/kernel/u": arr("input_layer.1.weight_u")[None],
-        "input_dense/kernel/sigma": np.asarray(1.0, dtype)}}
     for i in range(n_layers):
         params[f"res_dense_{i}"] = sn_linear(f"residual_blocks.{i}.0")
+        stats[f"res_dense_{i}"] = {
+            "u": arr(f"residual_blocks.{i}.0.weight_u"),
+            "v": arr(f"residual_blocks.{i}.0.weight_v")}
         params[f"res_bn_{i}"], stats[f"res_bn_{i}"] = bn(
             f"residual_blocks.{i}.1")
-        sn[f"SpectralNorm_{i + 1}"] = {
-            f"res_dense_{i}/kernel/u":
-                arr(f"residual_blocks.{i}.0.weight_u")[None],
-            f"res_dense_{i}/kernel/sigma": np.asarray(1.0, dtype)}
     params["output_dense"] = sn_linear("output_layer.0")
-    sn[f"SpectralNorm_{n_layers + 1}"] = {
-        "output_dense/kernel/u": arr("output_layer.0.weight_u")[None],
-        "output_dense/kernel/sigma": np.asarray(1.0, dtype)}
-    return {"params": params, "batch_stats": {**stats, **sn}}
-
-
-def _l2n(x, eps=1e-12):
-    return x / max(float(np.linalg.norm(x)), eps)
+    stats["output_dense"] = {"u": arr("output_layer.0.weight_u"),
+                             "v": arr("output_layer.0.weight_v")}
+    return {"params": params, "batch_stats": stats}
 
 
 def flax_to_mlp_reference_state(variables) -> Dict[str, np.ndarray]:
-    """Inverse of mlp_reference_state_to_flax (round-trip tested).
-    ``weight_v`` is derived as normalize(W^T u) — the value torch itself
-    would hold after its next power iteration from the same u."""
+    """Inverse of mlp_reference_state_to_flax (round-trip tested)."""
     p = variables["params"]
     bs = variables["batch_stats"]
     n_layers = sum(1 for k in p if k.startswith("res_dense_"))
 
-    def sn_find_u(dense_name):
-        for coll in bs.values():
-            key = f"{dense_name}/kernel/u"
-            if isinstance(coll, Mapping) and key in coll:
-                return np.asarray(coll[key])[0]
-        raise KeyError(dense_name)
-
     out: Dict[str, np.ndarray] = {}
 
     def put_sn_linear(tprefix, dense_name):
-        w = np.asarray(p[dense_name]["kernel"]).T     # torch (out, in)
-        u = sn_find_u(dense_name)
-        out[f"{tprefix}.weight_orig"] = w
+        out[f"{tprefix}.weight_orig"] = np.asarray(
+            p[dense_name]["kernel"]).T                # torch (out, in)
         out[f"{tprefix}.bias"] = np.asarray(p[dense_name]["bias"])
-        out[f"{tprefix}.weight_u"] = u
-        out[f"{tprefix}.weight_v"] = _l2n(w.T @ u)
+        out[f"{tprefix}.weight_u"] = np.asarray(bs[dense_name]["u"])
+        out[f"{tprefix}.weight_v"] = np.asarray(bs[dense_name]["v"])
 
     def put_bn(tprefix, bn_name):
         out[f"{tprefix}.weight"] = np.asarray(p[bn_name]["scale"])

@@ -26,7 +26,8 @@ import numpy as np
 from fcsr_tpu.core.vectorize import triu_indices_rowmajor
 from fcsr_tpu.models.gsr import torch_linear_init
 
-__all__ = ["SuperResMLP", "SpectralResMLP", "TorchBatchNorm"]
+__all__ = ["SuperResMLP", "SpectralResMLP", "TorchBatchNorm",
+           "SNDense"]
 
 
 class TorchBatchNorm(nn.Module):
@@ -69,6 +70,67 @@ class TorchBatchNorm(nn.Module):
                                 + (1 - self.momentum) * unbiased)
         inv = jax.lax.rsqrt(var + jnp.asarray(self.epsilon, x.dtype))
         return (x - mean) * inv * scale + bias
+
+
+class SNDense(nn.Module):
+    """Dense layer under spectral normalization with ``torch.nn.utils.
+    spectral_norm``'s EXACT semantics (ref: training_template.ipynb cell
+    334b874b wraps every Linear in it).
+
+    flax's ``nn.SpectralNorm`` stores only ``u`` and re-runs a power
+    iteration from it on EVERY call — including eval — so its eval-mode
+    sigma differs from torch's, which freezes the stored ``(u, v)`` pair
+    and computes ``sigma = u . (W v)`` with no iteration. Before the
+    estimate converges the two sigmas differ at the 1e-3 level, which
+    moves every validation loss and through it the plateau scheduler and
+    best-state choice (measured: 5e-3 val-loss delta on epoch 0 of the
+    transplant harness). This module stores both vectors
+    (batch_stats: u (out,), v (in,)) and reproduces torch bit-for-bit:
+
+      train: v = normalize(K u); u' = normalize(K^T v);
+             sigma = u' . (K^T v); store (u', v)       [K = (in, out)]
+      eval:  sigma = u . (K^T v) from the STORED pair, no iteration.
+
+    Gradients flow through K in sigma; u/v are stop-gradient buffers
+    (torch detaches them identically)."""
+    features: int
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (in_f, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        def init_vec(key, n):
+            w = jax.random.normal(key, (n,), jnp.float32)
+            return w / jnp.linalg.norm(w)
+
+        u_var = self.variable("batch_stats", "u", init_vec,
+                              self.make_rng("params")
+                              if not self.has_variable("batch_stats", "u")
+                              else None, self.features)
+        v_var = self.variable("batch_stats", "v", init_vec,
+                              self.make_rng("params")
+                              if not self.has_variable("batch_stats", "v")
+                              else None, in_f)
+
+        def l2n(w):
+            return w / jnp.maximum(jnp.linalg.norm(w), self.eps)
+
+        k = kernel
+        u0 = jnp.asarray(u_var.value, k.dtype)
+        if update_stats:
+            v0 = jax.lax.stop_gradient(l2n(k @ u0))
+            u0 = jax.lax.stop_gradient(l2n(k.T @ v0))
+        else:
+            v0 = jnp.asarray(v_var.value, k.dtype)
+        sigma = u0 @ (k.T @ v0)
+        if update_stats and not self.is_initializing():
+            u_var.value = u0
+            v_var.value = v0
+        return x @ (k / sigma) + bias
 
 
 class SuperResMLP(nn.Module):
@@ -136,11 +198,9 @@ class SpectralResMLP(nn.Module):
 
         def sn_dense(features, name):
             # torch's spectral_norm(Linear) with xavier-uniform init
-            # (the notebook applies Xavier to every Linear)
-            return nn.SpectralNorm(
-                nn.Dense(features, kernel_init=nn.initializers.xavier_uniform(),
-                         bias_init=nn.initializers.zeros, name=name),
-                error_on_non_matrix=False)
+            # (the notebook applies Xavier to every Linear); SNDense
+            # reproduces torch's train AND eval sigma exactly
+            return SNDense(features, name=name)
 
         x = sn_dense(self.num_hidden, "input_dense")(
             x, update_stats=train)

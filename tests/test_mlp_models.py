@@ -49,7 +49,20 @@ def test_spectral_mlp_output_properties(rng):
     np.testing.assert_allclose(out, np.swapaxes(out, 1, 2), atol=1e-6)
     assert np.all(np.diagonal(out, axis1=1, axis2=2) == 0)
     off = out[:, ~np.eye(14, dtype=bool)]
-    assert np.all(off > 0) and np.all(off < 1)
+    # sigmoid range; endpoints reachable in f32 — torch's legacy
+    # spectral_norm uses the random stored (u, v) for eval-mode sigma
+    # before any training step, so an untrained eval forward may
+    # saturate (SNDense reproduces exactly that)
+    assert np.all(off >= 0) and np.all(off <= 1)
+    # after ONE training step the power iteration estimates a real
+    # sigma and the outputs leave the saturated endpoints
+    out_t, upd = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+    variables = {**variables, "batch_stats": upd["batch_stats"]}
+    out2 = np.asarray(model.apply(variables, x, train=False))
+    off2 = out2[:, ~np.eye(14, dtype=bool)]
+    assert np.all(off2 > 0) and np.all(off2 < 1)
 
 
 def test_spectral_norm_constrains_weights(rng):
@@ -60,9 +73,14 @@ def test_spectral_norm_constrains_weights(rng):
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)}, x)
     assert "batch_stats" in variables
-    # flax SpectralNorm stores its sigma/u state inside batch_stats
-    sn = [k for k in variables["batch_stats"] if k.startswith("SpectralNorm")]
-    assert sn, f"expected SpectralNorm state, got {list(variables['batch_stats'])}"
+    # SNDense stores torch-layout u/v power-iteration vectors under each
+    # spectral-norm'd dense's own scope (models/mlp.py::SNDense)
+    bs = variables["batch_stats"]
+    for name, out_f, in_f in [("input_dense", 16, 28),
+                              ("output_dense", 45, 16)]:
+        assert set(bs[name]) == {"u", "v"}, (name, bs[name])
+        assert bs[name]["u"].shape == (out_f,)
+        assert bs[name]["v"].shape == (in_f,)
 
 
 def test_plateau_scheduler_matches_torch_semantics():
@@ -290,3 +308,63 @@ def test_torch_batchnorm_matches_torch_exactly():
     t_out = tbn(torch.from_numpy(x)).detach().numpy()
     j_out = model.apply(variables, x, use_running_average=True)
     np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-6)
+
+
+def test_sndense_matches_torch_spectral_norm_exactly():
+    """SNDense vs torch.nn.utils.spectral_norm(Linear): train-mode
+    forwards (power iteration + sigma), the stored u/v, AND the
+    eval-mode forward (torch freezes the stored pair — flax's
+    nn.SpectralNorm re-iterates, which is why it was replaced)."""
+    import torch
+    from torch.nn.utils import spectral_norm
+
+    from fcsr_tpu.models.mlp import SNDense
+
+    rng = np.random.default_rng(1)
+    in_f, out_f = 9, 5
+    tlin = spectral_norm(torch.nn.Linear(in_f, out_f))
+    with torch.no_grad():
+        tlin.weight_orig.copy_(torch.from_numpy(
+            rng.normal(size=(out_f, in_f)).astype(np.float32)))
+        tlin.bias.copy_(torch.from_numpy(
+            rng.normal(size=out_f).astype(np.float32)))
+
+    model = SNDense(out_f)
+    variables = {
+        "params": {"kernel": tlin.weight_orig.detach().numpy().T,
+                   "bias": tlin.bias.detach().numpy()},
+        "batch_stats": {"u": tlin.weight_u.detach().numpy().copy(),
+                        "v": tlin.weight_v.detach().numpy().copy()},
+    }
+
+    # eval BEFORE any training step: frozen-(u,v) sigma
+    x = rng.normal(size=(3, in_f)).astype(np.float32)
+    tlin.eval()
+    with torch.no_grad():
+        t_out = tlin(torch.from_numpy(x)).numpy()
+    j_out = model.apply(variables, x, update_stats=False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)
+
+    tlin.train()
+    for _ in range(3):
+        x = rng.normal(size=(4, in_f)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tlin(torch.from_numpy(x)).numpy()
+        j_out, upd = model.apply(variables, x, update_stats=True,
+                                 mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+        np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)
+
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["u"]),
+        tlin.weight_u.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["v"]),
+        tlin.weight_v.detach().numpy(), atol=1e-6)
+
+    tlin.eval()
+    x = rng.normal(size=(6, in_f)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tlin(torch.from_numpy(x)).numpy()
+    j_out = model.apply(variables, x, update_stats=False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)

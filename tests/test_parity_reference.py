@@ -181,3 +181,57 @@ def test_gat_transplant_trajectory_smoke():
     assert report["first_epoch_loss_delta"] < 1e-5
     assert report["train_loss_delta_max"] < 1e-3
     assert report["final_val_mae_delta"] < 1e-3
+
+
+@pytest.mark.slow
+def test_mlp_transplant_smoke():
+    """MLP-family transplant parity smoke (VERDICT r3 item 2): the
+    reconstructed notebook SpectralResMLP v2 in torch vs our shipped
+    trainer from one transplanted init — f64 first-batch probe must be
+    at machine epsilon, short f32 trajectories must track, and the
+    u/v/BN-stat transplant must round-trip."""
+    import torch  # noqa: F401  (skip cleanly if torch were absent)
+
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.iox.torch_interop import (flax_to_mlp_reference_state,
+                                            mlp_reference_state_to_flax)
+
+    mod = _tools()
+    data = load_or_synthesize(None, n_train=18, n_test=1, seed=42)
+    data = {
+        "lr_train": np.asarray(data["lr_train"][:, :20, :20],
+                               np.float32),
+        "hr_train": np.asarray(data["hr_train"][:, :32, :32],
+                               np.float32),
+    }
+    n_train, n_val = 12, 6
+
+    init_state, ref_tr, ref_val, ref_dec, ref_best, ref_mae = \
+        mod.run_mlp_reference_transplant(data, 3, 0.01, n_train, n_val,
+                                         hidden=48, n_layers=1)
+
+    # converters round-trip through the torch naming exactly
+    rt = flax_to_mlp_reference_state(
+        mlp_reference_state_to_flax(init_state))
+    for k, v in init_state.items():
+        # constant buffers (triu masks) and torch bookkeeping counters
+        # have no flax-side state to round-trip through
+        if k.endswith(("num_batches_tracked", "_mask")):
+            continue
+        np.testing.assert_array_equal(rt[k], v, err_msg=k)
+
+    probe = mod.run_mlp_first_step_probe(data, init_state, n_train,
+                                         hidden=48, n_layers=1)
+    assert probe["loss_delta"] < 1e-12, probe
+    assert probe["max_forward_delta"] < 1e-11, probe
+    assert probe["max_grad_delta"] < 1e-12, probe
+
+    our_tr, our_val, our_dec, our_best, our_mae = \
+        mod.run_mlp_ours_transplant(data, init_state, 3, 0.01, n_train,
+                                    n_val, hidden=48, n_layers=1)
+    d_tr = np.abs(np.asarray(ref_tr) - np.asarray(our_tr)).max()
+    d_val = np.abs(np.asarray(ref_val) - np.asarray(our_val)).max()
+    assert d_tr < 1e-4, (ref_tr, our_tr)
+    assert d_val < 1e-4, (ref_val, our_val)
+    assert ref_dec == our_dec and ref_best == our_best
+    assert abs(ref_mae - our_mae) < 1e-3, (ref_mae, our_mae)

@@ -542,6 +542,82 @@ def run_gat_ours_transplant(data, init_state, feats_tr, feats_va, epochs,
     return train_hist, val_hist, mae_hist, final_state
 
 
+def run_gat_transplant_full(args, mod):
+    """The reference's FULL shipped GAT schedule (ref:
+    unet-transformer.py:478-541): sklearn KFold(n_splits, shuffle,
+    random_state=42) over all subjects, fresh model per fold, 100
+    epochs of per-sample AdamW with plateau/best-state/early-stop —
+    transplant-compared fold by fold. drop_p=0 for determinism (the
+    reference's dropout RNG is implementation-defined)."""
+    import json
+
+    import numpy as np
+
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+
+    data = load_or_synthesize(None, n_train=args.n, n_test=1, seed=42,
+                              flavor="lift")
+    stack = data["lr_train"]
+    feats_all = torch_gat_features(mod, stack, 16, f64=args.f64)
+    folds = kfold_indices(len(stack), args.splits, seed=42)
+
+    fold_reports = []
+    for j, (tr, va) in enumerate(folds):
+        data_f = {
+            "lr_train": np.concatenate([data["lr_train"][tr],
+                                        data["lr_train"][va]]),
+            "hr_train": np.concatenate([data["hr_train"][tr],
+                                        data["hr_train"][va]]),
+        }
+        f_tr, f_va = feats_all[tr], feats_all[va]
+        n_tr, n_va = len(tr), len(va)
+        init_state, ref_trh, ref_valh, ref_mae, _ = \
+            run_gat_reference_transplant(mod, data_f, f_tr, f_va,
+                                         args.epochs, args.lr, n_tr,
+                                         n_va, f64=args.f64)
+        our_trh, our_valh, our_mae, _ = run_gat_ours_transplant(
+            data_f, init_state, f_tr, f_va, args.epochs, args.lr,
+            n_tr, n_va, f64=args.f64)
+        n_ep = min(len(ref_trh), len(our_trh))
+        rep = {
+            "fold": j,
+            "epochs_ref": len(ref_trh), "epochs_ours": len(our_trh),
+            "train_loss_delta_max": float(np.abs(
+                np.asarray(ref_trh[:n_ep])
+                - np.asarray(our_trh[:n_ep])).max()),
+            "val_loss_delta_max": float(np.abs(
+                np.asarray(ref_valh[:n_ep])
+                - np.asarray(our_valh[:n_ep])).max()),
+            "final_val_mae_ref": float(ref_mae[-1]),
+            "final_val_mae_ours": float(our_mae[-1]),
+            "final_val_mae_delta": abs(ref_mae[-1] - our_mae[-1]),
+        }
+        print(json.dumps(rep))
+        fold_reports.append(rep)
+
+    report = {
+        "family": "gat", "mode": "f64" if args.f64 else "f32",
+        "schedule": f"{args.splits}-fold x {args.epochs} epochs, "
+                    f"n={args.n}, drop_p=0 "
+                    "(ref unet-transformer.py:478-541)",
+        "folds": fold_reports,
+        "mean_final_val_mae_ref": float(np.mean(
+            [r["final_val_mae_ref"] for r in fold_reports])),
+        "mean_final_val_mae_ours": float(np.mean(
+            [r["final_val_mae_ours"] for r in fold_reports])),
+        "max_final_val_mae_delta": float(max(
+            r["final_val_mae_delta"] for r in fold_reports)),
+    }
+    out = os.path.join("outputs", "parity",
+                       "gat_transplant_full_schedule.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"written: {out}")
+    return report
+
+
 def run_gat_transplant(args):
     import jax
     if not args.tpu:
@@ -559,6 +635,9 @@ def run_gat_transplant(args):
         data = {k: np.asarray(v, dtype=np.float64)
                 for k, v in data.items()}
     mod = _reference_unet_module()
+    if args.splits:
+        run_gat_transplant_full(args, mod)
+        return
     feats_tr = torch_gat_features(mod, data["lr_train"][:n_train], 16,
                                   f64=args.f64)
     feats_va = torch_gat_features(
@@ -600,6 +679,393 @@ def run_gat_transplant(args):
     return report
 
 
+# ---------------------------------------------------------------------------
+# MLP family transplant (--family mlp)
+# ---------------------------------------------------------------------------
+
+def _reference_mlp_model(n_in, n_out, hidden, n_layers, dropout, f64=False):
+    """The notebook's SuperResMLP v2 RECONSTRUCTED in plain torch from
+    its documented architecture (ref: training_template.ipynb cell
+    334b874b): spectral-norm Linear + BatchNorm1d + Dropout + LeakyReLU
+    input layer, n residual blocks of the same shape (with post-add
+    LeakyReLU), spectral-norm Linear + Sigmoid output, scatter into the
+    row-major triu mask + symmetrize. Xavier-uniform on every Linear,
+    zero biases (the notebook's ``_init_weights``; applied to ``.weight``
+    of spectral-norm'd Linears it lands on weight_orig — verified).
+    The PyG ``to_dense_adj(Batch)`` entry is data plumbing, not model
+    math: this reconstruction takes dense (B, n, n) tensors directly
+    (the notebook's very next line reduces to the same triu gather)."""
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils import spectral_norm
+
+    class RefSuperResMLPv2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            input_size = (n_in * (n_in - 1)) // 2
+            output_size = (n_out * (n_out - 1)) // 2
+            self.register_buffer(
+                "input_mask",
+                torch.triu(torch.ones(n_in, n_in), diagonal=1).bool())
+            self.register_buffer(
+                "output_mask",
+                torch.triu(torch.ones(n_out, n_out), diagonal=1).bool())
+            self.input_layer = nn.Sequential(
+                nn.Flatten(start_dim=1),
+                spectral_norm(nn.Linear(input_size, hidden)),
+                nn.BatchNorm1d(hidden),
+                nn.Dropout(dropout),
+                nn.LeakyReLU(negative_slope=0.01),
+            )
+            self.residual_blocks = nn.ModuleList([
+                nn.Sequential(
+                    spectral_norm(nn.Linear(hidden, hidden)),
+                    nn.BatchNorm1d(hidden),
+                    nn.Dropout(dropout),
+                    nn.LeakyReLU(negative_slope=0.01),
+                ) for _ in range(n_layers)])
+            self.output_layer = nn.Sequential(
+                spectral_norm(nn.Linear(hidden, output_size)),
+                nn.Sigmoid(),
+            )
+            for m in self.modules():
+                if isinstance(m, nn.Linear):
+                    nn.init.xavier_uniform_(m.weight)
+                    if m.bias is not None:
+                        nn.init.zeros_(m.bias)
+
+        def forward(self, dense_batch):
+            import torch.nn.functional as F
+            x = dense_batch[:, self.input_mask]
+            x = self.input_layer(x)
+            for block in self.residual_blocks:
+                residual = x
+                x = block(x)
+                x = x + residual
+                x = F.leaky_relu(x, negative_slope=0.01)
+            x = self.output_layer(x)
+            b = x.size(0)
+            matrix = torch.zeros((b, n_out, n_out), device=x.device,
+                                 dtype=x.dtype)
+            matrix[:, self.output_mask] = x
+            return matrix + matrix.transpose(1, 2)
+
+    model = RefSuperResMLPv2()
+    if f64:
+        model.double()
+    return model
+
+
+def _mlp_batch_plan(n, num_epochs, batch_size, seed):
+    """EXACTLY the shipped generic loop's shuffle plan (train/
+    generic_loop.py: np.random.default_rng(seed).permutation(n) per
+    epoch; n_full full batches then one ragged remainder). The
+    reference's own loader order is np.random.shuffle driven and
+    implementation-defined (ref: utils/data.py:74-79), so the plan —
+    like top-k tie order in the GAT row — is pinned to ours on both
+    sides."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return [rng.permutation(n) for _ in range(num_epochs)]
+
+
+def run_mlp_reference_transplant(data, epochs, lr, n_train, n_val,
+                                 batch_size=32, seed=0, f64=False,
+                                 hidden=None, n_layers=0):
+    """Instrumented reference-semantics training of the reconstructed
+    notebook model: the shipped ``train_model`` control flow (AdamW
+    lr=0.01 wd=0.01, ReduceLROnPlateau(patience=10, default rel
+    threshold 1e-4), grad-clip 1.0, validate every epoch, best-state
+    deepcopy on strict improvement, early stop lr<1e-5 — ref:
+    utils/training.py:20-155) with a fixed batch plan and a whole-set
+    validation batch (the loader's per-batch averaging is batching
+    noise, not model semantics). dropout=0 for determinism. Returns
+    (init_state, train_hist, val_hist, decay_epochs, best_epoch,
+    final_val_mae)."""
+    import copy
+
+    import numpy as np
+    import torch
+
+    tdt = torch.float64 if f64 else torch.float32
+    n_in = data["lr_train"].shape[-1]
+    n_out = data["hr_train"].shape[-1]
+    hidden = hidden or ((n_in * (n_in - 1)) // 2
+                        + (n_out * (n_out - 1)) // 2) // 2
+    torch.manual_seed(0)
+    model = _reference_mlp_model(n_in, n_out, hidden, n_layers,
+                                 dropout=0.0, f64=f64)
+    init_state = {k: v.detach().numpy().copy()
+                  for k, v in model.state_dict().items()}
+
+    opt = torch.optim.AdamW(model.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", patience=10)
+    crit = torch.nn.MSELoss()
+
+    lr_tr = torch.from_numpy(data["lr_train"][:n_train]).to(tdt)
+    hr_tr = torch.from_numpy(data["hr_train"][:n_train]).to(tdt)
+    lr_va = torch.from_numpy(
+        data["lr_train"][n_train:n_train + n_val]).to(tdt)
+    hr_va = torch.from_numpy(
+        data["hr_train"][n_train:n_train + n_val]).to(tdt)
+
+    plan = _mlp_batch_plan(n_train, epochs, batch_size, seed)
+    train_hist, val_hist, lr_hist = [], [], []
+    best_val, best_state, best_epoch = float("inf"), None, -1
+    for epoch in range(epochs):
+        model.train()
+        order = plan[epoch]
+        ep_losses = []
+        for i in range(0, n_train, batch_size):
+            idx = order[i:i + batch_size]
+            opt.zero_grad()
+            out = model(lr_tr[idx])
+            loss = crit(out, hr_tr[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                           max_norm=1.0)
+            opt.step()
+            ep_losses.append(loss.item())
+        train_hist.append(float(np.mean(ep_losses)))
+
+        model.eval()
+        with torch.no_grad():
+            vloss = crit(model(lr_va), hr_va).item()
+        val_hist.append(vloss)
+        sched.step(vloss)
+        cur_lr = opt.param_groups[0]["lr"]
+        lr_hist.append(cur_lr)
+        if vloss < best_val:
+            best_val, best_epoch = vloss, epoch
+            best_state = copy.deepcopy(model.state_dict())
+        if cur_lr < 1e-5:
+            break
+
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    model.eval()
+    with torch.no_grad():
+        preds = model(lr_va).numpy()
+    off = ~np.eye(n_out, dtype=bool)
+    mae = float(np.abs(preds[:, off]
+                       - data["hr_train"][n_train:n_train + n_val][:, off]
+                       ).mean())
+    decays = [e for e in range(1, len(lr_hist))
+              if lr_hist[e] != lr_hist[e - 1]]
+    return init_state, train_hist, val_hist, decays, best_epoch, mae
+
+
+def run_mlp_ours_transplant(data, init_state, epochs, lr, n_train, n_val,
+                            batch_size=32, seed=0, hidden=None,
+                            n_layers=0):
+    """Our SHIPPED trainer (train/generic_loop.train_model, on-device
+    control, vector-space criterion) from the transplanted torch init.
+    Returns (train_hist, val_hist, decay_epochs, best_epoch,
+    final_val_mae)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    from fcsr_tpu.iox.torch_interop import mlp_reference_state_to_flax
+    from fcsr_tpu.models.mlp import SpectralResMLP
+    from fcsr_tpu.train.generic_loop import train_model
+    from fcsr_tpu.train.losses import (make_triu_mse_criterion,
+                                       pack_triu_targets)
+
+    n_in = data["lr_train"].shape[-1]
+    n_out = data["hr_train"].shape[-1]
+    hidden = hidden or ((n_in * (n_in - 1)) // 2
+                        + (n_out * (n_out - 1)) // 2) // 2
+    model_train = SpectralResMLP(num_nodes_input=n_in,
+                                 num_nodes_output=n_out,
+                                 num_hidden=hidden, n_layers=n_layers,
+                                 dropout=0.0, output="vector")
+    model_mat = SpectralResMLP(num_nodes_input=n_in,
+                               num_nodes_output=n_out,
+                               num_hidden=hidden, n_layers=n_layers,
+                               dropout=0.0)
+    variables = jax.tree.map(jnp.asarray,
+                             mlp_reference_state_to_flax(init_state))
+
+    r_in, c_in = triu_indices_rowmajor(n_in)
+    lr_vec = data["lr_train"][:, r_in, c_in].astype(np.float32)
+    hr_pack = pack_triu_targets(data["hr_train"]).astype(np.float32)
+    tr_h, va_h, lr_h, best_vars = train_model(
+        model_train, variables,
+        lr_vec[:n_train], hr_pack[:n_train],
+        lr_vec[n_train:n_train + n_val], hr_pack[n_train:n_train + n_val],
+        num_epochs=epochs, lr=lr, batch_size=batch_size,
+        criterion=make_triu_mse_criterion(n_out), seed=seed)
+
+    preds = np.asarray(model_mat.apply(
+        best_vars, jnp.asarray(data["lr_train"][n_train:n_train + n_val],
+                               jnp.float32), train=False))
+    off = ~np.eye(n_out, dtype=bool)
+    mae = float(np.abs(preds[:, off]
+                       - data["hr_train"][n_train:n_train + n_val][:, off]
+                       ).mean())
+    decays = [e for e in range(1, len(lr_h)) if lr_h[e] != lr_h[e - 1]]
+    best_epoch = int(np.argmin(va_h))
+    return tr_h, va_h, decays, best_epoch, mae
+
+
+def run_mlp_first_step_probe(data, init_state, n_train, f64=True,
+                             batch_size=32, seed=0, hidden=None,
+                             n_layers=0):
+    """Float64 single-batch probe: forward outputs and all parameter
+    gradients of the FIRST training batch, reference vs ours, from the
+    same transplanted init. Deltas at the 1e-12 level = the two programs
+    compute the same math (the GSR/GAT rows' yardstick)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    from fcsr_tpu.iox.torch_interop import (flax_to_mlp_reference_state,
+                                            mlp_reference_state_to_flax)
+    from fcsr_tpu.models.mlp import SpectralResMLP
+    from fcsr_tpu.train.losses import (make_triu_mse_criterion,
+                                       pack_triu_targets)
+
+    n_in = data["lr_train"].shape[-1]
+    n_out = data["hr_train"].shape[-1]
+    hidden = hidden or ((n_in * (n_in - 1)) // 2
+                        + (n_out * (n_out - 1)) // 2) // 2
+
+    idx = _mlp_batch_plan(n_train, 1, batch_size, seed)[0][:batch_size]
+    lr_b64 = data["lr_train"][idx].astype(np.float64)
+    hr_b64 = data["hr_train"][idx].astype(np.float64)
+
+    # torch side
+    model = _reference_mlp_model(n_in, n_out, hidden, n_layers,
+                                 dropout=0.0, f64=True)
+    model.load_state_dict({k: torch.from_numpy(v).double()
+                           for k, v in init_state.items()})
+    model.train()
+    out_t = model(torch.from_numpy(lr_b64))
+    loss_t = torch.nn.functional.mse_loss(out_t,
+                                          torch.from_numpy(hr_b64))
+    loss_t.backward()
+    grads_t = {k: p.grad.detach().numpy().copy()
+               for k, p in model.named_parameters()}
+
+    # our side (vector-space criterion, f64)
+    model_j = SpectralResMLP(num_nodes_input=n_in,
+                             num_nodes_output=n_out,
+                             num_hidden=hidden, n_layers=n_layers,
+                             dropout=0.0, output="vector")
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float64),
+        mlp_reference_state_to_flax(init_state, dtype=np.float64))
+    r_in, c_in = triu_indices_rowmajor(n_in)
+    crit = make_triu_mse_criterion(n_out)
+    x_vec = jnp.asarray(lr_b64[:, r_in, c_in])
+    t_pack = jnp.asarray(pack_triu_targets(hr_b64))
+
+    params = variables["params"]
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params):
+        pred, _ = model_j.apply({"params": params, **aux}, x_vec,
+                                train=True,
+                                mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(0)})
+        return crit(pred, t_pack)
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+
+    # forward-output delta (matrix space)
+    model_mat = SpectralResMLP(num_nodes_input=n_in,
+                               num_nodes_output=n_out,
+                               num_hidden=hidden, n_layers=n_layers,
+                               dropout=0.0)
+    out_j, _ = model_mat.apply(variables, jnp.asarray(lr_b64),
+                               train=True, mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(0)})
+    d_out = float(np.max(np.abs(np.asarray(out_j)
+                                - out_t.detach().numpy())))
+
+    # gradient deltas via the torch naming (kernel transposes included)
+    from fcsr_tpu.iox.torch_interop import flax_to_mlp_reference_state
+    g_state = flax_to_mlp_reference_state(
+        {"params": jax.tree.map(np.asarray, grads_j),
+         "batch_stats": jax.tree.map(np.asarray, aux["batch_stats"])})
+    d_grads = {}
+    for k, g in grads_t.items():
+        ours_key = k.replace(".weight_orig", ".weight_orig")
+        if ours_key in g_state:
+            d_grads[k] = float(np.max(np.abs(
+                g_state[ours_key].astype(np.float64) - g)))
+    jax.config.update("jax_enable_x64", False)
+    return {
+        "loss_delta": abs(float(loss_j) - float(loss_t.item())),
+        "max_forward_delta": d_out,
+        "max_grad_delta": max(d_grads.values()),
+        "grad_deltas_top": dict(sorted(d_grads.items(),
+                                       key=lambda kv: -kv[1])[:4]),
+    }
+
+
+def run_mlp_transplant(args):
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import json
+
+    import numpy as np
+
+    from fcsr_tpu.data import load_or_synthesize
+
+    n = args.n
+    n_train = n - int(0.33 * n)   # contiguous_window_folds p_val=0.33
+    n_val = n - n_train
+    data = load_or_synthesize(None, n_train=n, n_test=1, seed=42)
+    data = {k: np.asarray(v, dtype=np.float32) for k, v in data.items()}
+
+    lr = args.lr if args.lr != 1e-3 else 0.01   # train_model default
+
+    init_state, ref_tr, ref_val, ref_dec, ref_best, ref_mae = \
+        run_mlp_reference_transplant(data, args.epochs, lr, n_train,
+                                     n_val)
+    probe = run_mlp_first_step_probe(data, init_state, n_train)
+    our_tr, our_val, our_dec, our_best, our_mae = run_mlp_ours_transplant(
+        data, init_state, args.epochs, lr, n_train, n_val)
+
+    n_ep = min(len(ref_tr), len(our_tr))
+    d_tr = np.abs(np.asarray(ref_tr[:n_ep]) - np.asarray(our_tr[:n_ep]))
+    d_val = np.abs(np.asarray(ref_val[:n_ep])
+                   - np.asarray(our_val[:n_ep]))
+    report = {
+        "family": "mlp",
+        "mode": "f32 trajectories + f64 first-step probe",
+        "epochs_ref": len(ref_tr), "epochs_ours": len(our_tr),
+        "f64_first_step_loss_delta": probe["loss_delta"],
+        "f64_max_forward_delta": probe["max_forward_delta"],
+        "f64_max_grad_delta": probe["max_grad_delta"],
+        "first_epoch_loss_ref": float(ref_tr[0]),
+        "first_epoch_loss_ours": float(our_tr[0]),
+        "first_epoch_loss_delta": abs(ref_tr[0] - our_tr[0]),
+        "train_loss_delta_max": float(d_tr.max()),
+        "val_loss_delta_max": float(d_val.max()),
+        "decay_epochs_ref": ref_dec, "decay_epochs_ours": our_dec,
+        "best_epoch_ref": ref_best, "best_epoch_ours": our_best,
+        "final_val_mae_ref": ref_mae, "final_val_mae_ours": our_mae,
+        "final_val_mae_delta": abs(ref_mae - our_mae),
+    }
+    for k, v in report.items():
+        print(f"{k}: {v}")
+    out = os.path.join("outputs", "parity", "mlp_transplant.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\nwritten: {out}")
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
@@ -615,8 +1081,13 @@ def main():
                          "accelerator instead of forcing CPU")
     ap.add_argument("--ref-self-check", action="store_true",
                     help="torch-f32 vs torch-f64 chaos control (no JAX)")
-    ap.add_argument("--family", default="gsr", choices=["gsr", "gat"],
-                    help="model family to compare (gat: transplant only)")
+    ap.add_argument("--splits", type=int, default=0,
+                    help="(gat transplant) run the reference's FULL "
+                         "k-fold KFold(shuffle, seed 42) schedule "
+                         "instead of the single contiguous split")
+    ap.add_argument("--family", default="gsr",
+                    choices=["gsr", "gat", "mlp"],
+                    help="model family to compare (gat/mlp: transplant only)")
     args = ap.parse_args()
 
     if not os.path.isdir(REFERENCE):
@@ -625,6 +1096,9 @@ def main():
 
     if args.family == "gat":
         run_gat_transplant(args)
+        return
+    if args.family == "mlp":
+        run_mlp_transplant(args)
         return
     if args.ref_self_check:
         run_ref_self_check(args)
