@@ -15,7 +15,7 @@ from typing import Dict
 import numpy as np
 
 from fcsr_tpu.core.pallas_kernels import anti_vectorize_normalize
-from fcsr_tpu.data.io import HR_DIM, LR_DIM, load_csv_vectors
+from fcsr_tpu.data.io import load_csv_vectors, matrix_size_for
 from fcsr_tpu.utils.transfer import device_put_fast
 
 __all__ = ["ingest_vectors_to_device", "load_dataset_device"]
@@ -40,11 +40,14 @@ def load_dataset_device(data_dir: str, normalize_lr: bool = False,
     ``normalize_lr`` the LR stacks come out degree-normalized (what GSRNet
     consumes), fused in the same kernel pass."""
     out = {}
-    for name, n, norm in (("lr_train", LR_DIM, normalize_lr),
-                          ("hr_train", HR_DIM, False),
-                          ("lr_test", LR_DIM, normalize_lr)):
+    for name, norm in (("lr_train", normalize_lr),
+                       ("hr_train", False),
+                       ("lr_test", normalize_lr)):
         path = os.path.join(data_dir, f"{name}.csv")
         vecs = load_csv_vectors(path)
+        # size inferred from the row length, like data/io.py::load_dataset
+        # (160/268 for the real Kaggle files)
+        n = matrix_size_for(vecs.shape[1])
         out[name] = ingest_vectors_to_device(vecs, n, normalize=norm,
                                              interpret=interpret)
     return out

@@ -349,26 +349,37 @@ def _mask_shapes(dim: int, ks: Sequence[float], n_nodes: int, heads: int):
     return shapes
 
 
-def _draw_masks(dim, ks, n_nodes, heads, drop_p):
+def _bits_to_keep_mask(bits, drop_p):
+    """SIGNED int32 PRNG words -> f32 keep mask ~ Bernoulli(1 - drop_p).
+
+    bits is SIGNED int32: a plain ``bits >> 8`` is an arithmetic shift,
+    mapping half the stream to negative u — which made ``u >= drop_p``
+    keep only ~49% at any small drop_p (a real round-3 ship). Mask to
+    the low 24 bits after a logical shift instead: u is then uniform in
+    [0, 1). This is THE production transform — the CI binomial test
+    (tests/test_fused_gat.py) exercises this function, not a re-typed
+    copy."""
+    u24 = jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
+    u = u24.astype(F32) * (1.0 / (1 << 24))
+    return (u >= drop_p).astype(F32)
+
+
+def _draw_masks(dim, ks, n_nodes, heads, drop_p, bits_fn=None):
     """In-kernel dropout masks from the Mosaic PRNG (seeded by the
-    caller). keep ~ Bernoulli(1 - p) as uniform >= p.
+    caller; ``bits_fn`` overrides the bit source — the interpret path
+    substitutes a threefry stream since pltpu.prng_* has no CPU
+    lowering). keep ~ Bernoulli(1 - p) as uniform >= p.
 
     Every entry is a LIST of per-head (rows, cols) masks, even for
     count == 1 — a bare array would make ``drop_mask[j]`` silently index
     ROW j instead of head j in the heads==1 attention path."""
+    if bits_fn is None:
+        bits_fn = pltpu.prng_random_bits
     masks = {}
     for name, count, shape in _mask_shapes(dim, ks, n_nodes, heads):
         ms = []
         for _ in range(count):
-            bits = pltpu.prng_random_bits(shape)
-            # bits is SIGNED int32: a plain `bits >> 8` is an arithmetic
-            # shift, mapping half the stream to negative u — which made
-            # `u >= drop_p` keep only ~49% at any small drop_p. Mask to
-            # the low 24 bits after a logical reinterpretation instead:
-            # u is then uniform in [0, 1).
-            u24 = jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
-            u = u24.astype(F32) * (1.0 / (1 << 24))
-            ms.append((u >= drop_p).astype(F32))
+            ms.append(_bits_to_keep_mask(bits_fn(shape), drop_p))
         masks[name] = ms
     return masks
 
@@ -404,8 +415,27 @@ def _make_gat_train_kernel(dim: int, ks: tuple, n_nodes: int,
 
         masks = None
         if drop_p > 0:
-            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
-            masks = _draw_masks(dim, ks, n_nodes, heads, drop_p)
+            if interpret:
+                # pltpu.prng_* has no CPU interpret lowering; draw the
+                # SAME downstream transform from a threefry stream
+                # seeded from the same per-step seeds (stochastically
+                # equivalent masks — CI runs the full dropout placement
+                # and 1/(1-p) scaling through this path)
+                key_box = [jax.random.fold_in(
+                    jax.random.PRNGKey(seed_ref[0, 0]),
+                    seed_ref[0, 1])]
+
+                def bits_fn(shape):
+                    key_box[0], sub = jax.random.split(key_box[0])
+                    return jax.lax.bitcast_convert_type(
+                        jax.random.bits(sub, shape, jnp.uint32),
+                        jnp.int32)
+
+                masks = _draw_masks(dim, ks, n_nodes, heads, drop_p,
+                                    bits_fn=bits_fn)
+            else:
+                pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+                masks = _draw_masks(dim, ks, n_nodes, heads, drop_p)
 
         p_leaves = [r[:] for r in p_refs]
 

@@ -189,19 +189,55 @@ def test_heads1_dropout_masks_are_per_head_lists(rng):
     np.testing.assert_allclose(l_bc, l_ph, rtol=1e-6)
 
 
-def test_dropout_bit_transform_uniform_01(rng):
-    """The in-kernel dropout's bits->uniform transform must map SIGNED
-    int32 PRNG words to u ~ U[0, 1). The old `bits >> 8` arithmetic
-    shift sent half the stream negative, so `u >= drop_p` kept ~49%
-    instead of 1 - drop_p at any small drop_p — silently halving every
-    fused-GAT attention map at the default drop_p=0.01. This replicates
-    the exact jnp ops on a host-generated int32 stream."""
+def test_dropout_bit_transform_binomial_bounds(rng):
+    """The PRODUCTION bits->keep transform (fused_gat._bits_to_keep_mask
+    — the function the kernel itself calls, not a re-typed copy) must
+    map SIGNED int32 PRNG words to keep ~ Bernoulli(1 - p): empirical
+    keep rates inside 4-sigma binomial bounds at every tested p. The
+    old `bits >> 8` arithmetic shift kept ~49% at any small drop_p —
+    the class of bug that shipped for most of round 3 must not be able
+    to ship silently again (VERDICT r3 item 3b)."""
+    from fcsr_tpu.models.fused_gat import _bits_to_keep_mask
+
+    n = 512 * 512
     bits = jnp.asarray(rng.integers(-2**31, 2**31, size=(512, 512),
                                     dtype=np.int64).astype(np.int32))
-    u24 = jax.lax.shift_right_logical(bits, 8) & 0xFFFFFF
-    u = u24.astype(jnp.float32) * (1.0 / (1 << 24))
-    u = np.asarray(u)
-    assert u.min() >= 0.0 and u.max() < 1.0
-    for p in (0.01, 0.5):
-        keep = float((u >= p).mean())
-        assert abs(keep - (1.0 - p)) < 5e-3, (p, keep)
+    for p in (0.01, 0.1, 0.5, 0.9):
+        keep = float(np.asarray(_bits_to_keep_mask(bits, p)).mean())
+        sigma = np.sqrt(p * (1 - p) / n)
+        assert abs(keep - (1.0 - p)) < 4 * sigma + 1e-6, (p, keep)
+    # masks are exactly {0, 1}
+    m = np.asarray(_bits_to_keep_mask(bits, 0.3))
+    assert set(np.unique(m)) <= {0.0, 1.0}
+
+
+@pytest.mark.slow
+def test_fused_dropout_trained_mae_band(rng):
+    """Fused-vs-flax dropout TRAINED-MAE band (VERDICT r3 item 3b): at
+    a prominent drop_p the fused trainer (in-kernel masks, interpret
+    path on CPU — full dropout placement + 1/(1-p) scaling) and the
+    op-graph flax-dropout trainer are different PRNG streams of the
+    same stochastic process, so their trained val MAEs must agree to a
+    band far tighter than the keep-49%-instead-of-70% failure mode
+    would produce."""
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+    from fcsr_tpu.train.gat_loop import train_gat_folds_parallel
+
+    d = load_or_synthesize(None, n_train=6, n_test=1, seed=3)
+    lr = d["lr_train"][:, :20, :20].copy()
+    hr = d["hr_train"][:, :32, :32].copy()
+    folds = kfold_indices(6, 2, seed=42)
+    maes = {}
+    for fused in (False, True):
+        cfg = GATTrainConfig(n_nodes=20, m_nodes=32, dim=4,
+                             ks=(0.5, 0.5), heads=2, drop_p=0.3,
+                             epochs=3, fused_step=fused, scan_unroll=1)
+        _, _, h = train_gat_folds_parallel(cfg, lr, hr, folds, seed=42)
+        maes[fused] = np.asarray([hj["val"][-1] for hj in h],
+                                 dtype=np.float64)
+    # stochastic equivalence, not bitwise: generous band that still
+    # catches a systematically wrong keep rate (which shifts val MAE
+    # far outside it at drop_p=0.3)
+    rel = np.abs(maes[True] - maes[False]) / np.abs(maes[False])
+    assert np.all(rel < 0.25), (maes, rel)
