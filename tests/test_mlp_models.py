@@ -314,7 +314,12 @@ def test_sndense_matches_torch_spectral_norm_exactly():
     """SNDense vs torch.nn.utils.spectral_norm(Linear): train-mode
     forwards (power iteration + sigma), the stored u/v, AND the
     eval-mode forward (torch freezes the stored pair — flax's
-    nn.SpectralNorm re-iterates, which is why it was replaced)."""
+    nn.SpectralNorm re-iterates, which is why it was replaced).
+
+    atol=1e-5 on outputs of magnitude ~10 (~1e-6 relative): f32
+    contraction order differs between torch and XLA:CPU, and the
+    persistent AOT cache can serve programs compiled with different
+    instruction selection than the running host."""
     import torch
     from torch.nn.utils import spectral_norm
 
@@ -343,7 +348,7 @@ def test_sndense_matches_torch_spectral_norm_exactly():
     with torch.no_grad():
         t_out = tlin(torch.from_numpy(x)).numpy()
     j_out = model.apply(variables, x, update_stats=False)
-    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)
 
     tlin.train()
     for _ in range(3):
@@ -353,18 +358,18 @@ def test_sndense_matches_torch_spectral_norm_exactly():
         j_out, upd = model.apply(variables, x, update_stats=True,
                                  mutable=["batch_stats"])
         variables = {**variables, "batch_stats": upd["batch_stats"]}
-        np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)
 
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["u"]),
-        tlin.weight_u.detach().numpy(), atol=1e-6)
+        tlin.weight_u.detach().numpy(), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["v"]),
-        tlin.weight_v.detach().numpy(), atol=1e-6)
+        tlin.weight_v.detach().numpy(), atol=1e-5)
 
     tlin.eval()
     x = rng.normal(size=(6, in_f)).astype(np.float32)
     with torch.no_grad():
         t_out = tlin(torch.from_numpy(x)).numpy()
     j_out = model.apply(variables, x, update_stats=False)
-    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)

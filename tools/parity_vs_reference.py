@@ -635,7 +635,7 @@ def run_gat_transplant(args):
         data = {k: np.asarray(v, dtype=np.float64)
                 for k, v in data.items()}
     mod = _reference_unet_module()
-    if args.splits:
+    if getattr(args, "splits", 0):
         run_gat_transplant_full(args, mod)
         return
     feats_tr = torch_gat_features(mod, data["lr_train"][:n_train], 16,
