@@ -125,9 +125,12 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    # fail FAST and diagnosably when the tunnelled device is stalled
-    # (observed: multi-hour outages) instead of hanging into the
-    # caller's opaque timeout
+    # fail diagnosably when the tunnelled device is stalled (observed:
+    # multi-hour outages) instead of hanging into the caller's opaque
+    # timeout. The bench default waits up to 10 min (round 3's capture
+    # was lost to a stall that a patient wait could have outlived);
+    # FCSR_BENCH_PROBE_TIMEOUT overrides for fail-fast interactive use.
+    os.environ.setdefault("FCSR_BENCH_PROBE_TIMEOUT", "600")
     from fcsr_tpu.utils.probe import require_live_device
     require_live_device()
 

@@ -59,11 +59,12 @@ def _data():
                               seed=42), is_synthetic
 
 
-def run_gat(data, splits, epochs, fused):
+def run_gat(data, splits, epochs, fused, unroll=None):
     from fcsr_tpu.pipelines import run_gat_cv_fast
     from fcsr_tpu.train.gat_loop import GATTrainConfig
 
-    cfg = GATTrainConfig(epochs=epochs, fused_step=fused)
+    kw = {} if unroll is None else {"scan_unroll": unroll}
+    cfg = GATTrainConfig(epochs=epochs, fused_step=fused, **kw)
     res = run_gat_cv_fast(data, cfg=cfg, splits=splits, seed=42)
     epochs_run = sum(len(h["train"]) for h in res["histories"])
     n = len(data["lr_train"])
@@ -98,6 +99,11 @@ def main():
     ap.add_argument("--no-fused", action="store_true",
                     help="(gat) op-graph steps instead of the fused "
                          "whole-step kernel")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="(gat) scan_unroll override — the cold-profile "
+                         "experiment: 1 halves the chunk program and its "
+                         "per-process server-side load at ~2x the "
+                         "marginal epoch cost (PERF.md GAT cold-start)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -121,7 +127,8 @@ def main():
         t0 = time.perf_counter()
         if args.family == "gat":
             mae, work = run_gat(data, args.splits, args.epochs,
-                                fused=not args.no_fused)
+                                fused=not args.no_fused,
+                                unroll=args.unroll)
         else:
             mae, work = run_mlp(data, args.splits, args.epochs)
         return time.perf_counter() - t0, mae, work
