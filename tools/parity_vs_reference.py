@@ -756,6 +756,18 @@ def _reference_mlp_model(n_in, n_out, hidden, n_layers, dropout, f64=False):
     return model
 
 
+def _mlp_notebook_hidden(n_in, n_out):
+    """The notebook's SHIPPED hidden size. Cell 60478db passes
+    ``num_hidden_nodes=(input_dim+output_dim)//2`` where cell f5c15b0f
+    defines ``input_dim = batch[0].x.shape[0]`` — the NODE count of the
+    first graph (160), not the triu-vector length: SuperResMLP's first
+    parameter is ``num_nodes_input`` and it derives ``input_size =
+    (n*(n-1))//2`` from it, so a vector-length reading would imply an
+    (12720*12719)/2-wide input layer. Shipped hidden = (160+268)//2
+    = 214."""
+    return (n_in + n_out) // 2
+
+
 def _mlp_batch_plan(n, num_epochs, batch_size, seed):
     """EXACTLY the shipped generic loop's shuffle plan (train/
     generic_loop.py: np.random.default_rng(seed).permutation(n) per
@@ -790,8 +802,7 @@ def run_mlp_reference_transplant(data, epochs, lr, n_train, n_val,
     tdt = torch.float64 if f64 else torch.float32
     n_in = data["lr_train"].shape[-1]
     n_out = data["hr_train"].shape[-1]
-    hidden = hidden or ((n_in * (n_in - 1)) // 2
-                        + (n_out * (n_out - 1)) // 2) // 2
+    hidden = hidden or _mlp_notebook_hidden(n_in, n_out)
     torch.manual_seed(0)
     model = _reference_mlp_model(n_in, n_out, hidden, n_layers,
                                  dropout=0.0, f64=f64)
@@ -876,8 +887,7 @@ def run_mlp_ours_transplant(data, init_state, epochs, lr, n_train, n_val,
 
     n_in = data["lr_train"].shape[-1]
     n_out = data["hr_train"].shape[-1]
-    hidden = hidden or ((n_in * (n_in - 1)) // 2
-                        + (n_out * (n_out - 1)) // 2) // 2
+    hidden = hidden or _mlp_notebook_hidden(n_in, n_out)
     model_train = SpectralResMLP(num_nodes_input=n_in,
                                  num_nodes_output=n_out,
                                  num_hidden=hidden, n_layers=n_layers,
@@ -933,8 +943,7 @@ def run_mlp_first_step_probe(data, init_state, n_train, f64=True,
 
     n_in = data["lr_train"].shape[-1]
     n_out = data["hr_train"].shape[-1]
-    hidden = hidden or ((n_in * (n_in - 1)) // 2
-                        + (n_out * (n_out - 1)) // 2) // 2
+    hidden = hidden or _mlp_notebook_hidden(n_in, n_out)
 
     idx = _mlp_batch_plan(n_train, 1, batch_size, seed)[0][:batch_size]
     lr_b64 = data["lr_train"][idx].astype(np.float64)
@@ -1010,6 +1019,47 @@ def run_mlp_first_step_probe(data, init_state, n_train, f64=True,
     }
 
 
+def _mlp_transplant_one_split(data, n_train, n_val, epochs, lr, seed,
+                              hidden, probe=True):
+    """One fold of the transplant: reference trains first (exporting its
+    init), ours trains from the transplanted init; both see rows
+    [:n_train] as train and [n_train:n_train+n_val] as val."""
+    import numpy as np
+
+    init_state, ref_tr, ref_val, ref_dec, ref_best, ref_mae = \
+        run_mlp_reference_transplant(data, epochs, lr, n_train, n_val,
+                                     seed=seed, hidden=hidden)
+    probe_r = (run_mlp_first_step_probe(data, init_state, n_train,
+                                        seed=seed, hidden=hidden)
+               if probe else None)
+    our_tr, our_val, our_dec, our_best, our_mae = run_mlp_ours_transplant(
+        data, init_state, epochs, lr, n_train, n_val, seed=seed,
+        hidden=hidden)
+
+    n_ep = min(len(ref_tr), len(our_tr))
+    d_tr = np.abs(np.asarray(ref_tr[:n_ep]) - np.asarray(our_tr[:n_ep]))
+    d_val = np.abs(np.asarray(ref_val[:n_ep]) - np.asarray(our_val[:n_ep]))
+    rep = {
+        "epochs_ref": len(ref_tr), "epochs_ours": len(our_tr),
+        "first_epoch_loss_ref": float(ref_tr[0]),
+        "first_epoch_loss_ours": float(our_tr[0]),
+        "first_epoch_loss_delta": abs(ref_tr[0] - our_tr[0]),
+        "train_loss_delta_max": float(d_tr.max()),
+        "val_loss_delta_max": float(d_val.max()),
+        "decay_epochs_ref": ref_dec, "decay_epochs_ours": our_dec,
+        "best_epoch_ref": ref_best, "best_epoch_ours": our_best,
+        "final_val_mae_ref": ref_mae, "final_val_mae_ours": our_mae,
+        "final_val_mae_delta": abs(ref_mae - our_mae),
+    }
+    if probe_r is not None:
+        rep.update({
+            "f64_first_step_loss_delta": probe_r["loss_delta"],
+            "f64_max_forward_delta": probe_r["max_forward_delta"],
+            "f64_max_grad_delta": probe_r["max_grad_delta"],
+        })
+    return rep
+
+
 def run_mlp_transplant(args):
     import jax
     if not args.tpu:
@@ -1021,44 +1071,60 @@ def run_mlp_transplant(args):
     from fcsr_tpu.data import load_or_synthesize
 
     n = args.n
-    n_train = n - int(0.33 * n)   # contiguous_window_folds p_val=0.33
-    n_val = n - n_train
     data = load_or_synthesize(None, n_train=n, n_test=1, seed=42)
     data = {k: np.asarray(v, dtype=np.float32) for k, v in data.items()}
 
     lr = args.lr if args.lr != 1e-3 else 0.01   # train_model default
+    n_in = data["lr_train"].shape[-1]
+    n_out = data["hr_train"].shape[-1]
+    hidden = args.hidden or _mlp_notebook_hidden(n_in, n_out)
 
-    init_state, ref_tr, ref_val, ref_dec, ref_best, ref_mae = \
-        run_mlp_reference_transplant(data, args.epochs, lr, n_train,
-                                     n_val)
-    probe = run_mlp_first_step_probe(data, init_state, n_train)
-    our_tr, our_val, our_dec, our_best, our_mae = run_mlp_ours_transplant(
-        data, init_state, args.epochs, lr, n_train, n_val)
-
-    n_ep = min(len(ref_tr), len(our_tr))
-    d_tr = np.abs(np.asarray(ref_tr[:n_ep]) - np.asarray(our_tr[:n_ep]))
-    d_val = np.abs(np.asarray(ref_val[:n_ep])
-                   - np.asarray(our_val[:n_ep]))
     report = {
         "family": "mlp",
         "mode": "f32 trajectories + f64 first-step probe",
-        "epochs_ref": len(ref_tr), "epochs_ours": len(our_tr),
-        "f64_first_step_loss_delta": probe["loss_delta"],
-        "f64_max_forward_delta": probe["max_forward_delta"],
-        "f64_max_grad_delta": probe["max_grad_delta"],
-        "first_epoch_loss_ref": float(ref_tr[0]),
-        "first_epoch_loss_ours": float(our_tr[0]),
-        "first_epoch_loss_delta": abs(ref_tr[0] - our_tr[0]),
-        "train_loss_delta_max": float(d_tr.max()),
-        "val_loss_delta_max": float(d_val.max()),
-        "decay_epochs_ref": ref_dec, "decay_epochs_ours": our_dec,
-        "best_epoch_ref": ref_best, "best_epoch_ours": our_best,
-        "final_val_mae_ref": ref_mae, "final_val_mae_ours": our_mae,
-        "final_val_mae_delta": abs(ref_mae - our_mae),
+        "hidden": hidden, "n": n, "epochs": args.epochs, "lr": lr,
     }
+    if args.splits:
+        # the notebook's full shipped schedule: GraphDataModule(k_folds=3,
+        # p_val=0.33) = contiguous validation windows of ONE permutation
+        # (ref: utils/data.py:126-146; training_template.ipynb cell
+        # e34fa3e9); a fresh torch init per fold (cell 60478db constructs
+        # a new model each fold).
+        from fcsr_tpu.data.datamodule import contiguous_window_folds
+        folds = contiguous_window_folds(n, args.splits, 0.33, seed=42)
+        report["mode"] += (f" (full schedule: {args.splits} contiguous "
+                           f"folds, p_val=0.33)")
+        report["folds"] = []
+        for k, (tr_idx, va_idx) in enumerate(folds):
+            order = np.concatenate([tr_idx, va_idx])
+            fold_data = {key: v[order] if key in ("lr_train", "hr_train")
+                         else v for key, v in data.items()}
+            rep = _mlp_transplant_one_split(
+                fold_data, len(tr_idx), len(va_idx), args.epochs, lr,
+                seed=k, hidden=hidden, probe=(k == 0))
+            rep["fold"] = k
+            report["folds"].append(rep)
+            print(f"--- fold {k} ---")
+            for key, v in rep.items():
+                print(f"{key}: {v}")
+        report["final_val_mae_ref_mean"] = float(np.mean(
+            [f["final_val_mae_ref"] for f in report["folds"]]))
+        report["final_val_mae_ours_mean"] = float(np.mean(
+            [f["final_val_mae_ours"] for f in report["folds"]]))
+        report["final_val_mae_delta_max"] = float(max(
+            f["final_val_mae_delta"] for f in report["folds"]))
+        out = os.path.join("outputs", "parity",
+                           "mlp_transplant_full_schedule.json")
+    else:
+        n_train = n - int(0.33 * n)   # contiguous_window_folds p_val=0.33
+        n_val = n - n_train
+        report.update(_mlp_transplant_one_split(
+            data, n_train, n_val, args.epochs, lr, seed=0, hidden=hidden))
+        out = os.path.join("outputs", "parity", "mlp_transplant.json")
+
     for k, v in report.items():
-        print(f"{k}: {v}")
-    out = os.path.join("outputs", "parity", "mlp_transplant.json")
+        if k != "folds":
+            print(f"{k}: {v}")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
@@ -1082,9 +1148,13 @@ def main():
     ap.add_argument("--ref-self-check", action="store_true",
                     help="torch-f32 vs torch-f64 chaos control (no JAX)")
     ap.add_argument("--splits", type=int, default=0,
-                    help="(gat transplant) run the reference's FULL "
-                         "k-fold KFold(shuffle, seed 42) schedule "
+                    help="(gat/mlp transplant) run the reference's FULL "
+                         "k-fold schedule (gat: sklearn KFold(shuffle, "
+                         "42); mlp: contiguous windows, p_val=0.33) "
                          "instead of the single contiguous split")
+    ap.add_argument("--hidden", type=int, default=0,
+                    help="(mlp) hidden width override; default = the "
+                         "notebook's shipped (n_in+n_out)//2 = 214")
     ap.add_argument("--family", default="gsr",
                     choices=["gsr", "gat", "mlp"],
                     help="model family to compare (gat/mlp: transplant only)")
