@@ -91,7 +91,19 @@ _CSV_NAMES = ("lr_train.csv", "hr_train.csv", "lr_test.csv")
 def _csv_fingerprint(data_dir: str) -> str:
     """Size+mtime fingerprint of the source CSVs — invalidates the npz
     cache when a CSV is edited or re-downloaded (a stale cache would
-    silently serve arrays that no longer match the data on disk)."""
+    silently serve arrays that no longer match the data on disk).
+
+    A PARTIAL csv set fails loudly here: ``has_real_csvs`` triggers on
+    ``lr_train.csv`` alone (silently synthesizing next to real data
+    would be worse), so a half-copied data dir must produce a clear
+    error naming the missing files, not a raw ``os.stat`` traceback."""
+    missing = [n for n in _CSV_NAMES
+               if not os.path.exists(os.path.join(data_dir, n))]
+    if missing:
+        raise FileNotFoundError(
+            f"{data_dir} has lr_train.csv but is missing "
+            f"{', '.join(missing)} — the Kaggle set needs all of "
+            f"{', '.join(_CSV_NAMES)}")
     parts = []
     for name in _CSV_NAMES:
         path = os.path.join(data_dir, name)

@@ -211,3 +211,17 @@ def test_write_kaggle_csvs_roundtrip(tmp_path):
     n = data["hr_train"].shape[-1]
     frac = diff.sum() / (diff.shape[0] * n * (n - 1))
     assert 0.005 < frac < 0.05, frac
+
+
+def test_partial_csv_set_fails_with_clear_message(tmp_path):
+    """has_real_csvs triggers on lr_train.csv alone; a half-copied data
+    dir must fail loudly naming the missing files (silently synthesizing
+    next to real data would be worse), not with a raw os.stat error."""
+    import pytest
+
+    from fcsr_tpu.data import has_real_csvs, load_or_synthesize
+
+    (tmp_path / "lr_train.csv").write_text("ID,v0\n1,0.5\n")
+    assert has_real_csvs(str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="hr_train.csv"):
+        load_or_synthesize(str(tmp_path))
