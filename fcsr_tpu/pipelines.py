@@ -65,6 +65,7 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
                hidden: Optional[int] = None, seed: int = 42,
                variant: str = "v2",
                full_metrics: bool = False, eval_backend: str = "device",
+               fold_parallel: bool = True,
                verbose: bool = False):
     """MLP k-fold pipeline: contiguous-window folds over one permutation,
     MSE + AdamW + plateau LR, best-state restore, per-fold metrics, final
@@ -125,16 +126,49 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
     pred_fn = _model_predict_program(model)
     fold_maes = []
     off = ~np.eye(n_out, dtype=bool)
-    for j, (tr, va) in enumerate(folds):
-        variables = model.init(
+
+    from fcsr_tpu.utils.transfer import init_on_host
+
+    def fold_init(j):
+        # init on the host CPU backend: eager Module.init through the
+        # tunnelled TPU runtime is hundreds of per-op round trips
+        # (utils/transfer.py::init_on_host)
+        return init_on_host(lambda: model.init(
             {"params": jax.random.PRNGKey(seed + j),
              "dropout": jax.random.PRNGKey(seed + 100 + j)},
-            np.zeros((2, n_in, n_in), dtype=np.float32))
-        tr_h, va_h, lr_h, variables = train_model(
-            model_train, variables, lr_train_in[tr], hr_train_tgt[tr],
-            lr_train_in[va], hr_train_tgt[va], num_epochs=num_epochs,
-            lr=lr, batch_size=batch_size, criterion=criterion,
-            seed=seed + j, verbose=verbose)
+            np.zeros((2, n_in, n_in), dtype=np.float32)))
+
+    # fold-parallel device control (one vmapped chunk program drives all
+    # folds) needs equal train/val sizes — contiguous-window folds have
+    # them; fall back to the sequential path otherwise
+    # (verbose per-epoch logging lives in the sequential path only)
+    sizes = {(len(tr), len(va)) for tr, va in folds}
+    fold_results = None
+    if fold_parallel and not verbose and len(sizes) == 1 and len(folds) > 1:
+        from fcsr_tpu.train.generic_loop import train_model_folds
+        inits = [fold_init(j) for j in range(len(folds))]
+        variables_stack = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *inits)
+        tr_idx = np.stack([tr for tr, _ in folds])
+        va_idx = np.stack([va for _, va in folds])
+        fold_results = train_model_folds(
+            model_train, variables_stack,
+            lr_train_in[tr_idx], hr_train_tgt[tr_idx],
+            lr_train_in[va_idx], hr_train_tgt[va_idx],
+            seeds=[seed + j for j in range(len(folds))],
+            num_epochs=num_epochs, lr=lr, batch_size=batch_size,
+            criterion=criterion)
+
+    for j, (tr, va) in enumerate(folds):
+        if fold_results is not None:
+            tr_h, va_h, lr_h, variables = fold_results[j]
+        else:
+            variables = fold_init(j)
+            tr_h, va_h, lr_h, variables = train_model(
+                model_train, variables, lr_train_in[tr], hr_train_tgt[tr],
+                lr_train_in[va], hr_train_tgt[va], num_epochs=num_epochs,
+                lr=lr, batch_size=batch_size, criterion=criterion,
+                seed=seed + j, verbose=verbose)
         fold_losses.append((tr_h, va_h, lr_h))
         preds = np.asarray(pred_fn(variables, jnp.asarray(lr_all[va])))
         fold_maes.append(float(

@@ -18,6 +18,7 @@ from fcsr_tpu.train.fast_loop import (  # noqa: F401
 from fcsr_tpu.train.generic_loop import (  # noqa: F401
     PlateauScheduler,
     train_model,
+    train_model_folds,
 )
 from fcsr_tpu.train.gat_loop import (  # noqa: F401
     GATTrainConfig,

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-__all__ = ["PlateauScheduler", "TrainState", "train_model", "mse_criterion"]
+__all__ = ["PlateauScheduler", "TrainState", "train_model",
+           "train_model_folds", "mse_criterion"]
 
 
 class PlateauScheduler:
@@ -136,20 +137,17 @@ def _make_step_fns(model, tx, criterion: Callable, mutable_cols):
     return train_step, train_epoch_full, eval_step
 
 
-@lru_cache(maxsize=32)
-def _build_device_control_program(model, criterion: Callable,
-                                  mutable_cols, lr0: float,
-                                  batch_size: int, n: int,
-                                  patience: int, plateau_threshold: float,
-                                  plateau_factor: float, clip_norm: float,
-                                  weight_decay: float,
-                                  min_lr_stop: float):
-    """Jitted chunked control program + its optimizer, cached per
-    (model/criterion/schedule/shape) config so repeat ``train_model``
-    calls (per-fold loops, benches) reuse ONE compiled executable
-    instead of re-tracing a fresh closure every call. ``criterion`` must
-    be a stable function object (module-level, or from the lru_cached
-    ``make_triu_mse_criterion``)."""
+def _control_program_parts(model, criterion: Callable,
+                           mutable_cols, lr0: float,
+                           batch_size: int, n: int,
+                           patience: int, plateau_threshold: float,
+                           plateau_factor: float, clip_norm: float,
+                           weight_decay: float,
+                           min_lr_stop: float):
+    """UNJITTED chunked control program body + its optimizer — the
+    single-run path jits it directly, the fold-parallel path jits a
+    vmap of it. ``criterion`` must be a stable function object
+    (module-level, or from the lru_cached ``make_triu_mse_criterion``)."""
     def tx_factory(learning_rate):
         return optax.chain(
             optax.clip_by_global_norm(clip_norm),
@@ -242,7 +240,49 @@ def _build_device_control_program(model, criterion: Callable,
         carry, hists = jax.lax.scan(one_epoch, carry, (perms_c, do_val_c))
         return carry, hists
 
+    return run_chunk, tx
+
+
+@lru_cache(maxsize=32)
+def _build_device_control_program(model, criterion: Callable,
+                                  mutable_cols, lr0: float,
+                                  batch_size: int, n: int,
+                                  patience: int, plateau_threshold: float,
+                                  plateau_factor: float, clip_norm: float,
+                                  weight_decay: float,
+                                  min_lr_stop: float):
+    """Jitted chunked control program + its optimizer, cached per
+    (model/criterion/schedule/shape) config so repeat ``train_model``
+    calls (per-fold loops, benches) reuse ONE compiled executable
+    instead of re-tracing a fresh closure every call."""
+    run_chunk, tx = _control_program_parts(
+        model, criterion, mutable_cols, lr0, batch_size, n, patience,
+        plateau_threshold, plateau_factor, clip_norm, weight_decay,
+        min_lr_stop)
     return jax.jit(run_chunk), tx
+
+
+@lru_cache(maxsize=32)
+def _build_fold_control_program(model, criterion: Callable,
+                                mutable_cols, lr0: float,
+                                batch_size: int, n: int,
+                                patience: int, plateau_threshold: float,
+                                plateau_factor: float, clip_norm: float,
+                                weight_decay: float,
+                                min_lr_stop: float):
+    """Fold-parallel control program: the SAME chunk body vmapped over a
+    leading fold axis of the carry, the shuffle plans and the data
+    stacks (validate flags are epoch-indexed, hence shared). One
+    dispatch drives every fold's control state for a whole epoch chunk —
+    k-fold CV is embarrassingly parallel, and over a high-latency
+    device link the sequential path's per-fold dispatches dominate the
+    whole MLP family wall clock (PERF.md round 4)."""
+    run_chunk, tx = _control_program_parts(
+        model, criterion, mutable_cols, lr0, batch_size, n, patience,
+        plateau_threshold, plateau_factor, clip_norm, weight_decay,
+        min_lr_stop)
+    return jax.jit(jax.vmap(run_chunk,
+                            in_axes=(0, 0, None, 0, 0, 0, 0))), tx
 
 
 def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
@@ -362,6 +402,121 @@ def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
     if np.isfinite(float(bval_d)):
         variables = best_vars
     return train_hist, val_hist, lr_hist, variables
+
+
+def train_model_folds(model, variables_stack, lr_train_f, hr_train_f,
+                      lr_val_f, hr_val_f, seeds,
+                      num_epochs: int = 100, lr: float = 0.01,
+                      batch_size: int = 32, validate_every: int = 1,
+                      patience: int = 10, plateau_threshold: float = 1e-4,
+                      plateau_factor: float = 0.1, clip_norm: float = 1.0,
+                      weight_decay: float = 0.01,
+                      criterion: Callable = mse_criterion,
+                      min_lr_stop: float = 1e-5,
+                      control_chunk_epochs: int = 25):
+    """Train F independent folds of one model config as ONE vmapped
+    device-control program — the generic-loop analog of
+    ``fast_loop.GSRFoldRunner``'s fold axis.
+
+    Inputs carry a leading fold axis: ``variables_stack`` is the F
+    per-fold init trees stacked leaf-wise, ``*_f`` arrays are
+    (F, n, ...) data stacks (train/val sizes must be EQUAL across
+    folds — contiguous-window folds are; ragged k-fold splits must use
+    sequential ``train_model``), ``seeds`` is the per-fold seed list
+    (drives both the shuffle plans and the dropout key, exactly like
+    the sequential path's ``seed`` argument).
+
+    Trajectory-equivalent to F sequential ``train_model`` calls up to
+    float reassociation of the vmapped matmuls (tested); the win is
+    dispatch count: one chunk dispatch + one scalar pull drive ALL
+    folds for ``control_chunk_epochs`` epochs, where the sequential
+    path pays that per fold — the dominant cost over a high-latency
+    device link (PERF.md round 4).
+
+    Returns a list of F ``(train_hist, val_hist, lr_hist,
+    best_variables)`` tuples, each identical in contract to
+    ``train_model``'s return.
+    """
+    from fcsr_tpu.utils.transfer import device_put_fast, device_put_tree_fast
+
+    n_folds = len(seeds)
+    n = int(np.asarray(lr_train_f).shape[1])
+
+    lr_train_d = device_put_fast(np.asarray(lr_train_f, dtype=np.float32))
+    hr_train_d = device_put_fast(np.asarray(hr_train_f, dtype=np.float32))
+    lr_val_d = device_put_fast(np.asarray(lr_val_f, dtype=np.float32))
+    hr_val_d = device_put_fast(np.asarray(hr_val_f, dtype=np.float32))
+
+    # stacked param leaves are >2-D AND numerous; ship the whole tree as
+    # one flat buffer (utils/transfer.py module docstring)
+    variables_stack = jax.tree_util.tree_map(
+        np.asarray, variables_stack)
+    variables_stack = device_put_tree_fast(variables_stack)
+
+    sample = jax.tree_util.tree_leaves(variables_stack)[0]
+    assert sample.shape[0] == n_folds, "variables_stack fold axis mismatch"
+    mutable_cols = tuple(sorted(
+        k for k in variables_stack if k != "params"))
+
+    chunk_fn, tx = _build_fold_control_program(
+        model, criterion, mutable_cols, float(lr), int(batch_size),
+        n, int(patience), float(plateau_threshold), float(plateau_factor),
+        float(clip_norm), float(weight_decay), float(min_lr_stop))
+    opt_state = jax.jit(jax.vmap(tx.init))(variables_stack["params"])
+
+    rngs = [np.random.default_rng(s) for s in seeds]
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+
+    def rep(x, dtype):
+        return jnp.full((n_folds,), x, dtype)
+
+    carry = (variables_stack, opt_state, keys,
+             rep(lr, jnp.float32), rep(1.0, jnp.float32),
+             rep(jnp.inf, jnp.float32), rep(0, jnp.int32),
+             rep(jnp.inf, jnp.float32), variables_stack)
+
+    def validate_flag(epoch):
+        return ((epoch + 1) % validate_every == 0
+                or (epoch + 1) == num_epochs)
+
+    hist_parts, val_flags = [], []
+    done = 0
+    while done < num_epochs:
+        chunk = min(control_chunk_epochs, num_epochs - done)
+        perms = np.stack([
+            np.stack([rng.permutation(n).astype(np.int32)
+                      for _ in range(chunk)]) for rng in rngs])
+        flags = np.asarray([1.0 if validate_flag(done + e) else 0.0
+                            for e in range(chunk)], np.float32)
+        carry, hists_c = chunk_fn(carry, device_put_fast(perms),
+                                  jnp.asarray(flags), lr_train_d,
+                                  hr_train_d, lr_val_d, hr_val_d)
+        hist_parts.append(hists_c)
+        val_flags.append(flags)
+        done += chunk
+        if float(jnp.max(carry[4])) == 0.0:  # ONE scalar pull per chunk
+            break
+
+    # hists parts are (F, chunk, ...) — one bulk pull, then concatenate
+    # on the epoch axis
+    hist_parts = jax.device_get(hist_parts)
+    tr_h, v_h, lr_h, act_h = (np.concatenate(
+        [np.asarray(h[i]) for h in hist_parts], axis=1) for i in range(4))
+    flags = np.concatenate(val_flags)[:tr_h.shape[1]]
+    (variables_f, _, _, _, _, _, _, bval_f, best_f) = carry
+    bval_f = np.asarray(bval_f)
+
+    results = []
+    for j in range(n_folds):
+        mask = act_h[j] > 0
+        vmask = mask & (flags > 0)
+        train_hist = [float(x) for x in tr_h[j][mask]]
+        val_hist = [float(x) for x in v_h[j][vmask]]
+        lr_hist = [float(x) for x in lr_h[j][vmask]]
+        src = best_f if np.isfinite(bval_f[j]) else variables_f
+        fold_vars = jax.tree_util.tree_map(lambda x: x[j], src)
+        results.append((train_hist, val_hist, lr_hist, fold_vars))
+    return results
 
 
 def _train_model_host(model, variables, opt_state, tx, train_step,

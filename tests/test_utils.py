@@ -179,3 +179,31 @@ def test_mosaic_mm_modes():
                                        np.asarray(M._impl(a.T, ct)))
     finally:
         M.MODE = old
+
+
+def test_device_put_tree_fast_roundtrip(rng):
+    """One-flat-buffer-per-dtype tree staging reproduces every leaf
+    (mixed shapes AND dtypes; cached unpack program reused on a second
+    same-structured tree)."""
+    import jax
+
+    from fcsr_tpu.utils.transfer import device_put_tree_fast
+
+    def make_tree(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "params": {"a": r.normal(size=(3, 4, 5)).astype(np.float32),
+                       "b": r.normal(size=(7,)).astype(np.float32)},
+            "count": np.asarray(r.integers(0, 9, size=(2, 2)), np.int32),
+            "scalar": np.float32(r.normal()),
+        }
+
+    for seed in (0, 1):  # second pass exercises the unpack-program cache
+        t = make_tree(seed)
+        d = device_put_tree_fast(t)
+        flat_t = jax.tree_util.tree_leaves_with_path(t)
+        flat_d = jax.tree_util.tree_leaves_with_path(d)
+        assert [p for p, _ in flat_t] == [p for p, _ in flat_d]
+        for (_, a), (_, b) in zip(flat_t, flat_d):
+            assert np.asarray(b).dtype == np.asarray(a).dtype
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
