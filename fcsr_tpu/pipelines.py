@@ -59,6 +59,33 @@ def _model_predict_program(model):
     return fn
 
 
+_FOLD_EVAL_PROGRAMS: dict = {}
+_INIT_STACK_CACHE: dict = {}
+
+
+def _mlp_fold_eval_program(model_vec):
+    """ONE vmapped program evaluating every fold's val MAE on device:
+    gathers each fold's val rows from the staged input/target stacks,
+    runs the vector-output forward, and returns (F,) triu-vector MAEs
+    (== off-diagonal matrix MAEs exactly; see run_mlp_cv). Cached per
+    model so bench steady passes reuse the compiled executable."""
+    from functools import partial
+
+    fn = _FOLD_EVAL_PROGRAMS.get(model_vec)
+    if fn is None:
+        @partial(jax.jit, static_argnums=(4,))
+        def ev(stack, x_d, y_d, va_idx, n_tri):
+            import jax.numpy as jnp
+
+            def one(v, idx):
+                pred = model_vec.apply(v, x_d[idx], train=False)
+                return jnp.abs(pred - y_d[idx, :n_tri]).mean()
+            return jax.vmap(one, in_axes=(0, 0))(stack, va_idx)
+        fn = ev
+        _FOLD_EVAL_PROGRAMS[model_vec] = fn
+    return fn
+
+
 def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
                p_val: float = 0.33, num_epochs: int = 100, lr: float = 0.01,
                batch_size: int = 32, n_layers: int = 0,
@@ -143,21 +170,55 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
     # them; fall back to the sequential path otherwise
     # (verbose per-epoch logging lives in the sequential path only)
     sizes = {(len(tr), len(va)) for tr, va in folds}
-    fold_results = None
+    fold_results = best_stack = None
     if fold_parallel and not verbose and len(sizes) == 1 and len(folds) > 1:
         from fcsr_tpu.train.generic_loop import train_model_folds
-        inits = [fold_init(j) for j in range(len(folds))]
-        variables_stack = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *inits)
+
+        # seeded inits are deterministic, so the staged stacked tree is
+        # memoized per (model, seed, F): repeat passes skip both the
+        # eager host inits AND the ~40 MB/fold of host-side stacking
+        # (large host copies run at ~120 MB/s on this VM — measured,
+        # round 4) and reuse the device-resident tree directly.
+        key = (model, seed, len(folds))
+        variables_stack = _INIT_STACK_CACHE.get(key)
+        if variables_stack is None:
+            from fcsr_tpu.utils.transfer import device_put_tree_fast
+            inits = [fold_init(j) for j in range(len(folds))]
+            variables_stack = device_put_tree_fast(
+                jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *inits),
+                cache=True)
+            if len(_INIT_STACK_CACHE) >= 2:
+                _INIT_STACK_CACHE.pop(next(iter(_INIT_STACK_CACHE)))
+            _INIT_STACK_CACHE[key] = variables_stack
         tr_idx = np.stack([tr for tr, _ in folds])
         va_idx = np.stack([va for _, va in folds])
-        fold_results = train_model_folds(
+        fold_results, best_stack = train_model_folds(
             model_train, variables_stack,
             lr_train_in[tr_idx], hr_train_tgt[tr_idx],
             lr_train_in[va_idx], hr_train_tgt[va_idx],
             seeds=[seed + j for j in range(len(folds))],
             num_epochs=num_epochs, lr=lr, batch_size=batch_size,
-            criterion=criterion)
+            criterion=criterion, return_stacked=True)
+
+    from fcsr_tpu.utils.transfer import device_put_fast, stage_cached, to_host
+
+    # fold val MAEs: with the stacked best trees and a vector-output
+    # model the whole evaluation is ONE vmapped dispatch returning F
+    # scalars — the off-diagonal matrix MAE equals the triu-vector MAE
+    # exactly (every off-diag |diff| appears twice in both numerator and
+    # denominator), so nothing larger than (F,) crosses the link. The
+    # full_metrics path needs dense predictions on host; it keeps the
+    # per-fold predict pulls.
+    maes_f = None
+    if best_stack is not None and variant != "v1" and not full_metrics:
+        eval_fn = _mlp_fold_eval_program(model_train)
+        x_d = stage_cached(lr_train_in)
+        y_d = stage_cached(hr_train_tgt)
+        n_tri = (n_out * (n_out - 1)) // 2
+        maes_f = np.asarray(eval_fn(best_stack, x_d, y_d,
+                                    device_put_fast(va_idx), n_tri))
 
     for j, (tr, va) in enumerate(folds):
         if fold_results is not None:
@@ -170,22 +231,30 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
                 lr=lr, batch_size=batch_size, criterion=criterion,
                 seed=seed + j, verbose=verbose)
         fold_losses.append((tr_h, va_h, lr_h))
-        preds = np.asarray(pred_fn(variables, jnp.asarray(lr_all[va])))
-        fold_maes.append(float(
-            np.abs(preds[:, off] - hr_all[va][:, off]).mean()))
-        if full_metrics:
-            from fcsr_tpu.evalx.report import print_metrics
-            fold_metrics.append(print_metrics(hr_all[va], preds, fold_i=j,
-                                              backend=eval_backend,
-                                              write_file=False,
-                                              verbose=verbose))
+        if maes_f is not None:
+            fold_maes.append(float(maes_f[j]))
+        else:
+            # the matrix model accepts already-vectorized (B, L) rows, so
+            # only 2-D buffers cross the link (3-D device_put is the
+            # pathological tiled-relayout path — utils/transfer.py)
+            x_va = lr_all[va] if variant == "v1" else lr_train_in[va]
+            preds = to_host(pred_fn(variables, device_put_fast(x_va)))
+            fold_maes.append(float(
+                np.abs(preds[:, off] - hr_all[va][:, off]).mean()))
+            if full_metrics:
+                from fcsr_tpu.evalx.report import print_metrics
+                fold_metrics.append(print_metrics(hr_all[va], preds,
+                                                  fold_i=j,
+                                                  backend=eval_backend,
+                                                  write_file=False,
+                                                  verbose=verbose))
         best = variables
 
     test_preds = None
     if data.get("lr_test") is not None:
-        test_preds = np.asarray(pred_fn(
-            best, jnp.asarray(np.asarray(data["lr_test"],
-                                         dtype=np.float32))))
+        lr_test = np.asarray(data["lr_test"], dtype=np.float32)
+        x_test = lr_test if variant == "v1" else lr_test[:, r_in, c_in]
+        test_preds = to_host(pred_fn(best, device_put_fast(x_test)))
     return {"model": model, "variables": best, "fold_metrics": fold_metrics,
             "fold_maes": fold_maes, "mean_mae": float(np.mean(fold_maes)),
             "histories": fold_losses, "test_preds": test_preds}

@@ -107,28 +107,16 @@ def init_gat(cfg: GATTrainConfig, key: jax.Array):
 
 
 _FEATURE_CACHE: dict = {}
-_LR_STAGE_CACHE: dict = {}
 
 
 def stage_lr_cached(lr_np):
     """Device-stage an LR stack, memoized per dataset bytes — the
     fold-parallel trainer and the prediction pass both need the same
     ~17 MB stack on device, and re-shipping it over the tunnelled
-    runtime is a fixed cost the module's own comments call dominant."""
-    import hashlib
-
-    lr_np = np.ascontiguousarray(lr_np, dtype=np.float32)
-    h = hashlib.sha1(lr_np.tobytes())
-    h.update(str(lr_np.shape).encode())
-    key = h.hexdigest()
-    hit = _LR_STAGE_CACHE.get(key)
-    if hit is None:
-        from fcsr_tpu.utils.transfer import device_put_fast
-        hit = device_put_fast(lr_np)
-        if len(_LR_STAGE_CACHE) >= 4:  # bound device-array residency
-            _LR_STAGE_CACHE.pop(next(iter(_LR_STAGE_CACHE)))
-        _LR_STAGE_CACHE[key] = hit
-    return hit
+    runtime is a fixed cost the module's own comments call dominant.
+    (Now the generic ``utils/transfer.py::stage_cached``.)"""
+    from fcsr_tpu.utils.transfer import stage_cached
+    return stage_cached(np.ascontiguousarray(lr_np, dtype=np.float32))
 
 
 def precompute_gat_features(lr_stack, dim: int):

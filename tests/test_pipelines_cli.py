@@ -70,6 +70,59 @@ def test_cli_evaluate(tmp_path):
     assert (tmp_path / "results_fold_1.txt").exists()
 
 
+def test_mlp_ondevice_fold_eval_matches_host_offdiag_mae():
+    """The pipeline's ONE-dispatch on-device fold evaluation
+    (_mlp_fold_eval_program: triu-vector MAE of the vector-output model)
+    must equal the host path's off-diagonal MATRIX MAE of the
+    matrix-output model on the same variables: every off-diag |diff|
+    appears exactly twice in both the numerator and denominator of the
+    matrix mean, so the two means are the same quantity up to float
+    reassociation."""
+    import jax
+
+    from fcsr_tpu.core.vectorize import triu_indices_rowmajor
+    from fcsr_tpu.models.mlp import SpectralResMLP
+    from fcsr_tpu.pipelines import (_mlp_fold_eval_program,
+                                    _model_predict_program)
+    from fcsr_tpu.train.losses import pack_triu_targets
+    from tests.conftest import random_symmetric
+
+    n_in, n_out, n, F = 12, 16, 10, 3
+    rng = np.random.default_rng(5)
+    lr_all = np.stack([random_symmetric(rng, n_in, density=0.7)
+                       for _ in range(n)]).astype(np.float32)
+    hr_all = np.stack([random_symmetric(rng, n_out, density=0.7)
+                       for _ in range(n)]).astype(np.float32)
+    r_in, c_in = triu_indices_rowmajor(n_in)
+    x = lr_all[:, r_in, c_in]
+    y = pack_triu_targets(hr_all)
+
+    kw = dict(num_nodes_input=n_in, num_nodes_output=n_out,
+              num_hidden=8, n_layers=0)
+    model_vec = SpectralResMLP(output="vector", **kw)
+    model_mat = SpectralResMLP(**kw)
+    inits = [model_vec.init({"params": jax.random.PRNGKey(j),
+                             "dropout": jax.random.PRNGKey(10 + j)},
+                            x[:2]) for j in range(F)]
+    stack = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(v) for v in xs]), *inits)
+    va_idx = np.stack([np.arange(j, j + 4, dtype=np.int32)
+                       for j in range(F)])
+
+    n_tri = (n_out * (n_out - 1)) // 2
+    maes_dev = np.asarray(_mlp_fold_eval_program(model_vec)(
+        stack, x, y, va_idx, n_tri))
+
+    pred_fn = _model_predict_program(model_mat)
+    off = ~np.eye(n_out, dtype=bool)
+    for j in range(F):
+        preds = np.asarray(pred_fn(inits[j], x[va_idx[j]]))
+        mae_host = float(np.abs(preds[:, off]
+                                - hr_all[va_idx[j]][:, off]).mean())
+        np.testing.assert_allclose(maes_dev[j], mae_host,
+                                   rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_mlp_v1_variant(tiny_data):
     from fcsr_tpu.pipelines import run_mlp_cv

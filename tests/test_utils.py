@@ -181,6 +181,23 @@ def test_mosaic_mm_modes():
         M.MODE = old
 
 
+def test_stage_cached_memoizes_by_content(rng):
+    """stage_cached returns THE SAME device array for equal content
+    (no re-transfer), a different one for different content, and the
+    staged values round-trip exactly."""
+    from fcsr_tpu.utils import transfer
+
+    a = rng.normal(size=(4, 6)).astype(np.float32)
+    d1 = transfer.stage_cached(a)
+    d2 = transfer.stage_cached(a.copy())       # equal content -> cache hit
+    assert d1 is d2
+    np.testing.assert_array_equal(np.asarray(d1), a)
+    b = a + 1.0
+    d3 = transfer.stage_cached(b)
+    assert d3 is not d1
+    np.testing.assert_array_equal(np.asarray(d3), b)
+
+
 def test_device_put_tree_fast_roundtrip(rng):
     """One-flat-buffer-per-dtype tree staging reproduces every leaf
     (mixed shapes AND dtypes; cached unpack program reused on a second
