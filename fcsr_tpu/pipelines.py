@@ -337,13 +337,17 @@ def run_gat_cv_fast(data: Dict[str, np.ndarray],
         host_control=host_control, mesh=mesh)
     t_train = time.perf_counter() - t0
 
-    # all folds' validation predictions in ONE cached jitted program —
-    # see train/gat_loop.py::predict_gat_folds; the LR stack staging is
-    # shared with the trainer's (stage_lr_cached)
+    # all folds' validation evaluation in ONE cached jitted program —
+    # the LR stack staging is shared with the trainer's
+    # (stage_lr_cached). Without full_metrics only (F,) MAE scalars come
+    # back (predict_gat_folds_mae); the dense prediction stacks are
+    # pulled only when the host metric suite needs them.
     t0 = time.perf_counter()
     from fcsr_tpu.train.gat_loop import (precompute_gat_features,
                                          predict_gat_folds,
+                                         predict_gat_folds_mae,
                                          stage_lr_cached)
+    from fcsr_tpu.utils.transfer import stage_cached, to_host
 
     lr_d = stage_lr_cached(lr_all)
     x_d = precompute_gat_features(lr_all, dim=cfg.dim)
@@ -351,28 +355,35 @@ def run_gat_cv_fast(data: Dict[str, np.ndarray],
     va_idx = np.zeros((len(folds), va_len), np.int32)
     for j, (_, va) in enumerate(folds):
         va_idx[j, :len(va)] = np.asarray(va, np.int32)
-    preds_f = np.asarray(predict_gat_folds(model, best_vars, lr_d, x_d,
-                                           va_idx))
-    t_predict = time.perf_counter() - t0
 
     fold_metrics = []
-    fold_maes = []
-    for j, (tr, va) in enumerate(folds):
-        preds = preds_f[j, :len(va)]
-        gts = hr_all[va]
-        off = ~np.eye(gts.shape[-1], dtype=bool)
-        fold_maes.append(float(np.abs(preds[:, off] - gts[:, off]).mean()))
-        if full_metrics:
+    if full_metrics:
+        preds_f = to_host(predict_gat_folds(model, best_vars, lr_d, x_d,
+                                            va_idx))
+        fold_maes = []
+        for j, (tr, va) in enumerate(folds):
+            preds = preds_f[j, :len(va)]
+            gts = hr_all[va]
+            off = ~np.eye(gts.shape[-1], dtype=bool)
+            fold_maes.append(float(
+                np.abs(preds[:, off] - gts[:, off]).mean()))
             from fcsr_tpu.evalx.report import print_metrics
             fold_metrics.append(print_metrics(gts, preds, fold_i=j,
                                               backend=eval_backend,
                                               write_file=False,
                                               verbose=verbose))
+    else:
+        hr_d = stage_cached(hr_all)
+        maes_f = np.asarray(predict_gat_folds_mae(
+            model, best_vars, lr_d, x_d, va_idx, hr_d,
+            [len(va) for _, va in folds]))
+        fold_maes = [float(m) for m in maes_f]
+    t_predict = time.perf_counter() - t0
 
     test_preds = None
     if data.get("lr_test") is not None:
-        test_preds = np.asarray(predict_gat(best_vars[-1], model, cfg,
-                                            data["lr_test"]))
+        test_preds = to_host(predict_gat(best_vars[-1], model, cfg,
+                                         data["lr_test"]))
     return {"model": model, "variables": best_vars[-1],
             "variables_per_fold": best_vars, "cfg": cfg,
             "fold_maes": fold_maes, "mean_mae": float(np.mean(fold_maes)),

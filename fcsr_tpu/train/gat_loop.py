@@ -884,6 +884,51 @@ def predict_gat_folds(model: GATGraphUnet, best_vars, lr_d, x_d, va_idx):
     return prog(flat_f, jnp.asarray(va_idx), lr_d, x_d)
 
 
+_FOLD_MAE_PROGRAMS: dict = {}
+
+
+def predict_gat_folds_mae(model: GATGraphUnet, best_vars, lr_d, x_d,
+                          va_idx, hr_d, va_len):
+    """Every fold's validation off-diagonal MAE as ONE jitted dispatch
+    returning (F,) scalars — nothing larger crosses the link (the
+    predictions stay on device; use ``predict_gat_folds`` when the
+    dense stacks are actually needed, e.g. for the NetworkX metric
+    suite). Ragged fold sizes are padded in ``va_idx``; ``va_len``
+    gives each fold's true size and the padded rows are masked out of
+    the mean."""
+    from jax.flatten_util import ravel_pytree
+    flats = []
+    unravel = None
+    for v in best_vars:
+        flat, unravel = ravel_pytree(v)
+        flats.append(flat)
+    flat_f = jnp.stack(flats)
+    key = (model, int(flat_f.shape[-1]))
+    prog = _FOLD_MAE_PROGRAMS.get(key)
+    if prog is None:
+        @jax.jit
+        def prog(flat_f, idx_f, len_f, lr_d, x_d, hr_d):
+            def fold(flat, idx, m):
+                params = unravel(flat)
+
+                def one(i):
+                    pred, _, _ = model.apply(params, lr_d[i], x=x_d[i],
+                                             train=False)
+                    gt = hr_d[i]
+                    n = gt.shape[-1]
+                    off = 1.0 - jnp.eye(n, dtype=pred.dtype)
+                    return (jnp.abs(pred - gt) * off).sum() / (n * (n - 1))
+
+                per = jax.vmap(one)(idx)          # (va_len,) per-subject
+                valid = jnp.arange(idx.shape[0]) < m
+                return jnp.where(valid, per, 0.0).sum() / m
+
+            return jax.vmap(fold)(flat_f, idx_f, len_f)
+        _FOLD_MAE_PROGRAMS[key] = prog
+    return prog(flat_f, jnp.asarray(va_idx),
+                jnp.asarray(va_len, jnp.float32), lr_d, x_d, hr_d)
+
+
 def predict_gat(variables, model: GATGraphUnet, cfg: GATTrainConfig,
                 lr_stack):
     """Batched inference (ref: unet-transformer.py:433-446)."""

@@ -177,3 +177,44 @@ def test_predict_programs_cached_across_calls(rng):
     np.testing.assert_array_equal(f1, f2)
     np.testing.assert_allclose(f1.reshape(4, 32, 32), p1, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_predict_gat_folds_mae_matches_host_offdiag(rng):
+    """The (F,)-scalar on-device fold evaluation (predict_gat_folds_mae)
+    must equal the host off-diagonal MAE of the pulled prediction
+    stacks, INCLUDING ragged folds: the padded va_idx rows (which
+    duplicate subject 0) must be masked out of the mean."""
+    from fcsr_tpu.train.gat_loop import (GATTrainConfig, init_gat,
+                                         precompute_gat_features,
+                                         predict_gat_folds,
+                                         predict_gat_folds_mae)
+    from fcsr_tpu.utils.transfer import device_put_fast
+
+    cfg = GATTrainConfig(n_nodes=20, m_nodes=32, ks=(0.5,), dim=8,
+                         drop_p=0.0)
+    model, v0, _, _ = init_gat(cfg, jax.random.PRNGKey(0))
+    _, v1, _, _ = init_gat(cfg, jax.random.PRNGKey(1))
+    lr = np.stack([random_symmetric(rng, 20) for _ in range(5)])
+    hr = np.stack([random_symmetric(rng, 32) for _ in range(5)])
+
+    # ragged folds: sizes 3 and 2, padded to 3 with a duplicate of
+    # subject 0 — exactly run_gat_cv_fast's padding scheme
+    folds_va = [np.array([0, 1, 2]), np.array([3, 4])]
+    va_idx = np.zeros((2, 3), np.int32)
+    for j, va in enumerate(folds_va):
+        va_idx[j, :len(va)] = va
+    lr_d = device_put_fast(lr.astype(np.float32))
+    hr_d = device_put_fast(hr.astype(np.float32))
+    x_d = precompute_gat_features(lr, dim=cfg.dim)
+
+    maes = np.asarray(predict_gat_folds_mae(
+        model, [v0, v1], lr_d, x_d, va_idx, hr_d,
+        [len(v) for v in folds_va]))
+
+    preds_f = np.asarray(predict_gat_folds(model, [v0, v1], lr_d, x_d,
+                                           va_idx))
+    off = ~np.eye(32, dtype=bool)
+    for j, va in enumerate(folds_va):
+        host = float(np.abs(preds_f[j, :len(va)][:, off]
+                            - hr[va][:, off]).mean())
+        np.testing.assert_allclose(maes[j], host, rtol=1e-5, atol=1e-7)
