@@ -50,10 +50,15 @@ class GATTrainConfig:
     intermediate_losses: bool = True
     weight_decay: float = 0.01
     # scan unroll for the fold-parallel trainer's per-epoch step loop.
-    # Exact math either way; measured on v5e (PERF.md): unroll=2 cuts the
-    # steady 3x100ep run 117 s -> 53 s but roughly quadruples the
-    # first-process compile (84 s -> ~320 s). Set 1 for one-shot runs.
-    scan_unroll: int = 2
+    # Exact math either way (fold MAEs bit-identical; measured on v5e,
+    # PERF.md "GAT cold start"): unroll=1 halves the chunk program, so
+    # the tunnelled runtime's per-process program load — the dominant
+    # cold cost — drops with it: cold 67-90 s -> 31-52 s at the price of
+    # ~1-2 s steady (5.5-6.7 -> 6.7-8.0 s for 3x100ep). The reference's
+    # own usage is one-shot cold CV runs (unet-transformer.py:478-541),
+    # so 1 is the default; set 2 for repeat-run/serving processes where
+    # steady dominates.
+    scan_unroll: int = 1
     # run each training step (fwd + bwd + masked AdamW) as ONE Mosaic
     # kernel (models/fused_gat.py) in the fold-parallel trainer. Same
     # math as the op-graph path up to the compensated-matmul accuracy
