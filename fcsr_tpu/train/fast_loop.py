@@ -358,7 +358,7 @@ def stage_dataset(cfg: GSRTrainConfig, lr_all, hr_all, mesh=None):
     hr_np = np.asarray(hr_all, dtype=np.float32)
     a_norm = normalize_adj_np(lr_np).astype(np.float32)
     u_lr, u_hr = precompute_spectral(lr_np, hr_np, lr_dim=cfg.lr_dim,
-                                     padding=cfg.padding)
+                                     padding=cfg.padding, a_norm=a_norm)
     arrays = (a_norm, hr_np, np.asarray(u_lr, dtype=np.float32),
               np.asarray(u_hr, dtype=np.float32))
     if mesh is None:

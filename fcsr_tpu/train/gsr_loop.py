@@ -12,6 +12,7 @@ overhead.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -90,8 +91,36 @@ def init_gsr(cfg: GSRTrainConfig, key: jax.Array):
     return model, params, tx, opt_state
 
 
+def _spectral_cache_path(lr_np, hr_np, lr_dim, padding):
+    """Disk-cache location for the spectral precompute, keyed by dataset
+    CONTENT + config — or None when caching is disabled. Mirrors the
+    reference's own preprocessed-tensor disk cache (ref:
+    utils/slim.py:79-82); here it matters because host LAPACK over the
+    full 167-subject set costs ~3 s on a fast host but ~54 s on a
+    single-vCPU one (measured, round 4), and the teacher dataset is a
+    fixed seeded artifact."""
+    import hashlib
+
+    if os.environ.get("FCSR_NO_SPECTRAL_CACHE") == "1":
+        return None
+    h = hashlib.blake2b(digest_size=16)
+    for a in (lr_np, hr_np):
+        h.update(str(a.shape).encode())
+        h.update(memoryview(np.ascontiguousarray(a)).cast("B"))
+    h.update(repr((lr_dim, padding)).encode())
+    root = os.environ.get(
+        "FCSR_SPECTRAL_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "fcsr_spectral"))
+    try:
+        os.makedirs(root, exist_ok=True)
+    except OSError:
+        return None
+    return os.path.join(root, f"spectral_{h.hexdigest()}.npz")
+
+
 def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
-                        padding: int = 0, device: bool = False):
+                        padding: int = 0, device: bool = False,
+                        a_norm=None):
     """Batched eigendecompositions hoisted out of the train loop.
 
     Returns (u_lr, u_hr_reduced):
@@ -103,15 +132,22 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
     Exact hoisting: these depend only on data, never on parameters.
 
     Default backend is host LAPACK: this is one-shot data preprocessing
-    (~3 s for the full 167-subject set), and wrapping two batched eighs in
-    a custom jit triggers a pathological multi-minute XLA TPU compile —
-    measured 292 s vs 3 s of actual compute. ``device=True`` keeps it on
-    the accelerator via the un-nested jnp.linalg.eigh fast path.
-    Bonus: host numpy eigh uses the same LAPACK syevd backend (and thus
-    eigenvector sign conventions) as torch.linalg.eigh in the reference.
+    (~3 s for the full 167-subject set on a fast host), and wrapping two
+    batched eighs in a custom jit triggers a pathological multi-minute
+    XLA TPU compile — measured 292 s vs 3 s of actual compute.
+    ``device=True`` keeps it on the accelerator via the un-nested
+    jnp.linalg.eigh fast path. Bonus: host numpy eigh uses the same
+    LAPACK syevd backend (and thus eigenvector sign conventions) as
+    torch.linalg.eigh in the reference.
+
+    The host result is disk-cached per dataset content
+    (``_spectral_cache_path``; disable with FCSR_NO_SPECTRAL_CACHE=1).
+    ``a_norm`` optionally supplies the already-normalized LR stack so
+    callers that need it anyway (stage_dataset) don't pay the
+    normalization twice.
     """
     if device:
-        a_norm = normalize_adj(lr_stack)
+        a_norm = normalize_adj(lr_stack) if a_norm is None else a_norm
         _, u_lr = jnp.linalg.eigh(a_norm)
         hr_padded = pad_hr_adj(hr_stack, padding)
         _, u_hr = jnp.linalg.eigh(hr_padded)
@@ -121,7 +157,17 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
 
     lr_np = np.asarray(lr_stack, dtype=np.float32)
     hr_np = np.asarray(hr_stack, dtype=np.float32)
-    _, u_lr = np.linalg.eigh(normalize_adj_np(lr_np))
+    cache = _spectral_cache_path(lr_np, hr_np, lr_dim, padding)
+    if cache is not None and os.path.exists(cache):
+        try:
+            with np.load(cache) as z:
+                return z["u_lr"], z["u_hr_reduced"]
+        except Exception:
+            pass  # unreadable/partial file: recompute and overwrite
+
+    if a_norm is None:
+        a_norm = normalize_adj_np(lr_np)
+    _, u_lr = np.linalg.eigh(np.asarray(a_norm, dtype=np.float32))
 
     if padding:
         hr_np = np.pad(hr_np, ((0, 0), (padding, padding),
@@ -131,10 +177,20 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
     n = hr_np.shape[-1]
     hr_np[:, np.arange(n), np.arange(n)] = 1.0
     _, u_hr = np.linalg.eigh(hr_np)
+    u_hr_reduced = u_hr[..., :, :lr_dim]
+    if cache is not None:
+        # np.savez APPENDS .npz to names that lack it — keep the tmp name
+        # .npz-suffixed so os.replace sees the file savez actually wrote
+        tmp = cache + ".tmp.npz"
+        try:
+            np.savez(tmp, u_lr=u_lr, u_hr_reduced=u_hr_reduced)
+            os.replace(tmp, cache)
+        except OSError:
+            pass
     # return HOST arrays: transferring >2-D arrays here would hit the slow
     # tiled-relayout device_put path (see utils/transfer.py); callers stage
     # flat via device_put_fast.
-    return u_lr, u_hr[..., :, :lr_dim]
+    return u_lr, u_hr_reduced
 
 
 def _loss_fn(params, model: GSRNet, lr, hr, u_lr, u_hr_red,

@@ -240,3 +240,44 @@ def test_gsr_layer_standalone_batched(rng):
     gw = np.asarray(g["params"]["weights"])
     assert gw.shape == (hr_dim, lr_dim)
     assert np.abs(gw).sum() > 0
+
+
+def test_precompute_spectral_disk_cache(tmp_path, monkeypatch, rng):
+    """The spectral precompute's disk cache must actually round-trip:
+    a second call (fresh cache-key computation) returns bit-identical
+    arrays from the file np.savez REALLY wrote (regression: np.savez
+    appends .npz to suffix-less tmp names, which silently broke the
+    os.replace and left the cache permanently cold), and different
+    data/config miss."""
+    import os
+
+    from fcsr_tpu.train.gsr_loop import (_spectral_cache_path,
+                                         precompute_spectral)
+    from tests.conftest import random_symmetric
+
+    monkeypatch.setenv("FCSR_SPECTRAL_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("FCSR_NO_SPECTRAL_CACHE", raising=False)
+    lr = np.stack([random_symmetric(rng, 12) for _ in range(4)])
+    hr = np.stack([random_symmetric(rng, 20) for _ in range(4)])
+
+    u1, v1 = precompute_spectral(lr, hr, lr_dim=12)
+    path = _spectral_cache_path(np.asarray(lr, np.float32),
+                                np.asarray(hr, np.float32), 12, 0)
+    assert os.path.exists(path), "cache file missing after compute"
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+    u2, v2 = precompute_spectral(lr, hr, lr_dim=12)
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(v1, v2)
+
+    # different content or config -> different key (no false hits)
+    p_other = _spectral_cache_path(np.asarray(lr + 1e-3, np.float32),
+                                   np.asarray(hr, np.float32), 12, 0)
+    assert p_other != path
+    assert _spectral_cache_path(np.asarray(lr, np.float32),
+                                np.asarray(hr, np.float32), 12, 2) != path
+
+    # the kill switch bypasses the cache but returns the same values
+    monkeypatch.setenv("FCSR_NO_SPECTRAL_CACHE", "1")
+    u3, v3 = precompute_spectral(lr, hr, lr_dim=12)
+    np.testing.assert_allclose(u1, u3, atol=0)
