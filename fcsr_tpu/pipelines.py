@@ -182,13 +182,27 @@ def run_mlp_cv(data: Dict[str, np.ndarray], k_folds: int = 3,
         key = (model, seed, len(folds))
         variables_stack = _INIT_STACK_CACHE.get(key)
         if variables_stack is None:
-            from fcsr_tpu.utils.transfer import device_put_tree_fast
-            inits = [fold_init(j) for j in range(len(folds))]
+            import jax.numpy as jnp
+
+            from fcsr_tpu.utils.transfer import (device_put_tree_fast,
+                                                 init_on_host)
+
+            # one jitted VMAPPED init on the host CPU backend produces
+            # the stacked tree directly — bit-identical to F separate
+            # inits (tested), with no 100+ MB host-side np.stack (this
+            # VM's large-copy bandwidth is ~120 MB/s) and no per-fold
+            # eager dispatch chains
+            def _stacked_init():
+                kp = jnp.stack([jax.random.PRNGKey(seed + j)
+                                for j in range(len(folds))])
+                kd = jnp.stack([jax.random.PRNGKey(seed + 100 + j)
+                                for j in range(len(folds))])
+                return jax.jit(jax.vmap(lambda a, b: model.init(
+                    {"params": a, "dropout": b},
+                    jnp.zeros((2, n_in, n_in), jnp.float32))))(kp, kd)
+
             variables_stack = device_put_tree_fast(
-                jax.tree_util.tree_map(
-                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                    *inits),
-                cache=True)
+                init_on_host(_stacked_init), cache=True)
             if len(_INIT_STACK_CACHE) >= 2:
                 _INIT_STACK_CACHE.pop(next(iter(_INIT_STACK_CACHE)))
             _INIT_STACK_CACHE[key] = variables_stack
