@@ -112,6 +112,7 @@ def init_gat(cfg: GATTrainConfig, key: jax.Array):
 
 
 _FEATURE_CACHE: dict = {}
+_INIT_FLAT_CACHE: dict = {}
 
 
 def stage_lr_cached(lr_np):
@@ -618,10 +619,15 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
 
         def _put_rep(a):
             return jax.device_put(jnp.asarray(a), _rep_sh)
-    # the LR stack is shared with the prediction pass (pipelines) — one
-    # staging per dataset, not one per trainer/predict call
-    lr_d = stage_lr_cached(lr_np) if mesh is None else _put_rep(lr_np)
-    hr_d = _put_rep(hr_np)
+    # the LR/HR stacks are shared with the prediction/eval passes
+    # (pipelines) — one staging per dataset, not one per call
+    if mesh is None:
+        from fcsr_tpu.utils.transfer import stage_cached
+        lr_d = stage_lr_cached(lr_np)
+        hr_d = stage_cached(hr_np)
+    else:
+        lr_d = _put_rep(lr_np)
+        hr_d = _put_rep(hr_np)
     x_d = _put_rep(np.asarray(
         precompute_gat_features(lr_np, dim=cfg.dim))) if mesh is not None \
         else precompute_gat_features(lr_np, dim=cfg.dim)
@@ -646,13 +652,25 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
                                jnp.eye(cfg.n_nodes, dtype=jnp.float32) * 0.5)
         return ravel_pytree(variables["params"])
 
-    flats = []
-    for j in range(n_folds):
-        # init on the host CPU backend: eager init through the TPU
-        # tunnel costs ~4-6 s PER FOLD in per-op round trips
-        flat, _ = init_on_host(lambda j=j: _init_fold(j))
-        flats.append(np.asarray(flat))
-    flat_f = _put_folded(jnp.stack([jnp.asarray(f) for f in flats]))
+    # seeded inits are deterministic — memoize the stacked flat init per
+    # (model config, seed, fold count) so repeat runs (bench passes,
+    # sweeps) skip the eager host inits entirely. Eager is deliberate
+    # here (the init traces an SVD, a known jit compile tarpit —
+    # ROUND_NOTES landmine 3), which is exactly why it is worth caching.
+    init_key = (repr(_dc_replace(cfg, epochs=0)), seed, n_folds)
+    flats_np = _INIT_FLAT_CACHE.get(init_key)
+    if flats_np is None:
+        flats = []
+        for j in range(n_folds):
+            # init on the host CPU backend: eager init through the TPU
+            # tunnel costs ~4-6 s PER FOLD in per-op round trips
+            flat, _ = init_on_host(lambda j=j: _init_fold(j))
+            flats.append(np.asarray(flat))
+        flats_np = np.stack(flats)
+        if len(_INIT_FLAT_CACHE) >= 4:
+            _INIT_FLAT_CACHE.pop(next(iter(_INIT_FLAT_CACHE)))
+        _INIT_FLAT_CACHE[init_key] = flats_np
+    flat_f = _put_folded(jnp.asarray(flats_np))
 
     tr_sets = [np.asarray(tr, dtype=np.int32) for tr, _ in folds]
     va_sets = [np.asarray(va, dtype=np.int32) for _, va in folds]
