@@ -40,8 +40,11 @@ def _tail_loss(w_gsr, w1, w2, f, u_lr, u_hr, hr):
     """Pure-jnp tail: GSRLayer (collapsed exact form) -> gc1 -> gc2 ->
     symmetrize/diag/abs -> L1(pred, hr') + L1(w_gsr, u_hr).
 
-    hr arrives with unit diagonal already set (eval convention is separate;
-    training compares against raw hr — callers pass the right target).
+    hr is compared exactly as passed: the reference's training recon term
+    uses the RAW label (ref: utils/gsr_train.py:39-44 — ``padded_hr`` only
+    feeds the eigh there), so production passes the unmodified HR stack;
+    only the EVAL convention fills the label diagonal with 1 (ref:
+    utils/gsr_train.py:66-68, mirrored in evaluate_gsr/eval_all).
     Returns the scalar sum of the two data-dependent loss terms (the
     lmbda * L1(net_outs, start_gcn_outs) term involves only U-Net tensors
     and stays outside the kernel)."""

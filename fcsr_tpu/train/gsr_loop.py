@@ -12,7 +12,6 @@ overhead.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -98,24 +97,9 @@ def _spectral_cache_path(lr_np, hr_np, lr_dim, padding):
     utils/slim.py:79-82); here it matters because host LAPACK over the
     full 167-subject set costs ~3 s on a fast host but ~54 s on a
     single-vCPU one (measured, round 4), and the teacher dataset is a
-    fixed seeded artifact."""
-    import hashlib
-
-    if os.environ.get("FCSR_NO_SPECTRAL_CACHE") == "1":
-        return None
-    h = hashlib.blake2b(digest_size=16)
-    for a in (lr_np, hr_np):
-        h.update(str(a.shape).encode())
-        h.update(memoryview(np.ascontiguousarray(a)).cast("B"))
-    h.update(repr((lr_dim, padding)).encode())
-    root = os.environ.get(
-        "FCSR_SPECTRAL_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "fcsr_spectral"))
-    try:
-        os.makedirs(root, exist_ok=True)
-    except OSError:
-        return None
-    return os.path.join(root, f"spectral_{h.hexdigest()}.npz")
+    fixed seeded artifact. Shared machinery in utils/host_cache.py."""
+    from fcsr_tpu.utils.host_cache import cache_path
+    return cache_path("spectral", (lr_np, hr_np), (lr_dim, padding))
 
 
 def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
@@ -157,13 +141,11 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
 
     lr_np = np.asarray(lr_stack, dtype=np.float32)
     hr_np = np.asarray(hr_stack, dtype=np.float32)
+    from fcsr_tpu.utils import host_cache
     cache = _spectral_cache_path(lr_np, hr_np, lr_dim, padding)
-    if cache is not None and os.path.exists(cache):
-        try:
-            with np.load(cache) as z:
-                return z["u_lr"], z["u_hr_reduced"]
-        except Exception:
-            pass  # unreadable/partial file: recompute and overwrite
+    hit = host_cache.load(cache, ("u_lr", "u_hr_reduced"))
+    if hit is not None:
+        return hit
 
     if a_norm is None:
         a_norm = normalize_adj_np(lr_np)
@@ -178,15 +160,7 @@ def precompute_spectral(lr_stack, hr_stack, lr_dim: int = 160,
     hr_np[:, np.arange(n), np.arange(n)] = 1.0
     _, u_hr = np.linalg.eigh(hr_np)
     u_hr_reduced = u_hr[..., :, :lr_dim]
-    if cache is not None:
-        # np.savez APPENDS .npz to names that lack it — keep the tmp name
-        # .npz-suffixed so os.replace sees the file savez actually wrote
-        tmp = cache + ".tmp.npz"
-        try:
-            np.savez(tmp, u_lr=u_lr, u_hr_reduced=u_hr_reduced)
-            os.replace(tmp, cache)
-        except OSError:
-            pass
+    host_cache.save(cache, u_lr=u_lr, u_hr_reduced=u_hr_reduced)
     # return HOST arrays: transferring >2-D arrays here would hit the slow
     # tiled-relayout device_put path (see utils/transfer.py); callers stage
     # flat via device_put_fast.

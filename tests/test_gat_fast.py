@@ -218,3 +218,44 @@ def test_predict_gat_folds_mae_matches_host_offdiag(rng):
         host = float(np.abs(preds_f[j, :len(va)][:, off]
                             - hr[va][:, off]).mean())
         np.testing.assert_allclose(maes[j], host, rtol=1e-5, atol=1e-7)
+
+
+def test_precompute_gat_features_disk_cache(tmp_path, monkeypatch, rng):
+    """The SVD feature precompute's disk layer round-trips: a fresh
+    process (simulated by clearing the in-process memo) reads the
+    features back bit-identically, the hit really comes from the file
+    (poisoned-file probe), and the kill switch bypasses the disk."""
+    import os
+
+    from fcsr_tpu.train import gat_loop
+    from fcsr_tpu.utils import host_cache
+    from tests.conftest import random_symmetric
+
+    monkeypatch.setenv("FCSR_SPECTRAL_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("FCSR_NO_SPECTRAL_CACHE", raising=False)
+    lr = np.stack([random_symmetric(rng, 12) for _ in range(3)])
+
+    gat_loop._FEATURE_CACHE.clear()
+    f1 = np.asarray(gat_loop.precompute_gat_features(lr, dim=4))
+    files = [f for f in os.listdir(tmp_path) if f.startswith("gatfeat_")]
+    assert len(files) == 1, files
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+    gat_loop._FEATURE_CACHE.clear()
+    f2 = np.asarray(gat_loop.precompute_gat_features(lr, dim=4))
+    np.testing.assert_array_equal(f1, f2)
+
+    # prove the second call reads the FILE: poison it and observe the
+    # poisoned values come back on the next fresh-memo call
+    path = os.path.join(str(tmp_path), files[0])
+    host_cache.save(path, features=f1 + 1.0)
+    gat_loop._FEATURE_CACHE.clear()
+    f3 = np.asarray(gat_loop.precompute_gat_features(lr, dim=4))
+    np.testing.assert_array_equal(f3, f1 + 1.0)
+
+    # the kill switch bypasses the (poisoned) disk and recomputes
+    monkeypatch.setenv("FCSR_NO_SPECTRAL_CACHE", "1")
+    gat_loop._FEATURE_CACHE.clear()
+    f4 = np.asarray(gat_loop.precompute_gat_features(lr, dim=4))
+    np.testing.assert_array_equal(f4, f1)
+    gat_loop._FEATURE_CACHE.clear()
