@@ -67,8 +67,10 @@ def save(path, **arrays):
     if path is None:
         return
     # np.savez APPENDS .npz to names that lack it — keep the tmp name
-    # .npz-suffixed so os.replace sees the file savez actually wrote
-    tmp = path + ".tmp.npz"
+    # .npz-suffixed so os.replace sees the file savez actually wrote.
+    # Per-writer (pid) tmp name so two processes cold-starting on the
+    # same dataset never install each other's partial write.
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     try:
         np.savez(tmp, **arrays)
         os.replace(tmp, path)

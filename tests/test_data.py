@@ -225,3 +225,24 @@ def test_partial_csv_set_fails_with_clear_message(tmp_path):
     assert has_real_csvs(str(tmp_path))
     with pytest.raises(FileNotFoundError, match="hr_train.csv"):
         load_or_synthesize(str(tmp_path))
+
+
+def test_teacher_dataset_content_pin():
+    """The full-size seeded teacher dataset regenerates BIT-EXACTLY: the
+    74 MB npz cache is untracked (round 5) because load_or_synthesize
+    rebuilds it from seed 42 on first use; this pin is the guarantee the
+    golden-MAE bench gate rests on (bench.py pins a val MAE that is only
+    meaningful if the dataset content is stable across machines/rounds)."""
+    import hashlib
+
+    from fcsr_tpu.data.synthetic import synthesize_teacher_connectomes
+
+    lr, hr, lr_te = synthesize_teacher_connectomes(167, seed=42, n_test=112)
+    h = hashlib.blake2b(digest_size=16)
+    for name, a in [("hr_train", hr), ("lr_test", lr_te), ("lr_train", lr)]:
+        a = np.ascontiguousarray(a)
+        h.update(name.encode())
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(memoryview(a).cast("B"))
+    assert h.hexdigest() == "5b1379f6624d7492b4d5a56ddd403e78"
