@@ -269,6 +269,93 @@ def run_ours_transplant(data, init_state, u_lr, u_hr_red, epochs, lr, lmbda,
         float(np.mean(maes))
 
 
+def run_gsr_transplant_full(args):
+    """The reference's FULL shipped GSR schedule (ref:
+    training_gsr.ipynb cell-4/6; utils/gsr_train.py:11-53): sklearn
+    KFold(n_splits, shuffle, random_state=42) over ALL subjects, a fresh
+    model per fold, epochs x n_train sequential Adam steps with the
+    composite L1 loss — transplant-compared fold by fold. Shipped
+    config: --splits 5 --n 167 --epochs 200 --lr 1e-4 --lmbda 16
+    (~26 600 steps per fold per side on this host)."""
+    import json
+    import time
+
+    import numpy as np
+    import torch
+
+    from fcsr_tpu.data import load_or_synthesize
+    from fcsr_tpu.data.datamodule import kfold_indices
+
+    data = load_or_synthesize(None, n_train=args.n, n_test=1, seed=42,
+                              flavor="lift")  # same data as the GSR rows
+    if args.f64:
+        data = {k: np.asarray(v, dtype=np.float64) for k, v in data.items()}
+    tdt = torch.float64 if args.f64 else torch.float32
+    folds = kfold_indices(args.n, args.splits, seed=42)
+
+    fold_reports = []
+    for j, (tr, va) in enumerate(folds):
+        t0 = time.time()
+        data_f = {
+            "lr_train": np.concatenate([data["lr_train"][tr],
+                                        data["lr_train"][va]]),
+            "hr_train": np.concatenate([data["hr_train"][tr],
+                                        data["hr_train"][va]]),
+        }
+        n_tr, n_va = len(tr), len(va)
+        u_lr, u_hr_red = torch_spectral(data_f["lr_train"][:n_tr],
+                                        data_f["hr_train"][:n_tr], tdt)
+        init_state, ref_losses, ref_final, ref_mae = \
+            run_reference_transplant(data_f, args.epochs, args.lr,
+                                     args.lmbda, n_tr, n_va, f64=args.f64)
+        t_ref = time.time() - t0
+        our_losses, our_final, our_mae = run_ours_transplant(
+            data_f, init_state, u_lr, u_hr_red, args.epochs, args.lr,
+            args.lmbda, n_tr, n_va, f64=args.f64)
+        t_ours = time.time() - t0 - t_ref
+
+        d = np.abs(ref_losses - our_losses)
+        wdelta = {k: float(np.max(np.abs(
+            ref_final[k].astype(np.float64)
+            - our_final[k].astype(np.float64)))) for k in ref_final}
+        rep = {
+            "fold": j, "n_train": n_tr, "n_val": n_va,
+            "steps": int(ref_losses.size),
+            "first_step_loss_delta": float(d[0, 0]),
+            "loss_delta_max": float(d.max()),
+            "loss_delta_mean": float(d.mean()),
+            "final_step_delta": float(d[-1, -1]),
+            "max_final_weight_delta": max(wdelta.values()),
+            "final_val_mae_ref": ref_mae,
+            "final_val_mae_ours": our_mae,
+            "final_val_mae_delta": abs(ref_mae - our_mae),
+            "wall_s_ref": round(t_ref, 1), "wall_s_ours": round(t_ours, 1),
+        }
+        print(json.dumps(rep), flush=True)
+        fold_reports.append(rep)
+
+    report = {
+        "family": "gsr", "mode": "f64" if args.f64 else "f32",
+        "schedule": f"{args.splits}-fold sklearn KFold(shuffle, 42) x "
+                    f"{args.epochs} epochs, n={args.n}, lr={args.lr}, "
+                    f"lmbda={args.lmbda} (ref training_gsr.ipynb cell-4/6)",
+        "folds": fold_reports,
+        "mean_final_val_mae_ref": float(np.mean(
+            [r["final_val_mae_ref"] for r in fold_reports])),
+        "mean_final_val_mae_ours": float(np.mean(
+            [r["final_val_mae_ours"] for r in fold_reports])),
+        "max_final_val_mae_delta": float(max(
+            r["final_val_mae_delta"] for r in fold_reports)),
+    }
+    out = os.path.join("outputs", "parity",
+                       "gsr_transplant_full_schedule.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"written: {out}")
+    return report
+
+
 def run_transplant(args):
     import jax
     if not args.tpu:
@@ -1148,10 +1235,10 @@ def main():
     ap.add_argument("--ref-self-check", action="store_true",
                     help="torch-f32 vs torch-f64 chaos control (no JAX)")
     ap.add_argument("--splits", type=int, default=0,
-                    help="(gat/mlp transplant) run the reference's FULL "
-                         "k-fold schedule (gat: sklearn KFold(shuffle, "
-                         "42); mlp: contiguous windows, p_val=0.33) "
-                         "instead of the single contiguous split")
+                    help="(transplant) run the reference's FULL k-fold "
+                         "schedule (gsr/gat: sklearn KFold(shuffle, 42); "
+                         "mlp: contiguous windows, p_val=0.33) instead "
+                         "of the single contiguous split")
     ap.add_argument("--hidden", type=int, default=0,
                     help="(mlp) hidden width override; default = the "
                          "notebook's shipped (n_in+n_out)//2 = 214")
@@ -1174,7 +1261,13 @@ def main():
         run_ref_self_check(args)
         return
     if args.transplant:
-        run_transplant(args)
+        if args.splits:
+            import jax
+            if not args.tpu:
+                jax.config.update("jax_platforms", "cpu")
+            run_gsr_transplant_full(args)
+        else:
+            run_transplant(args)
         return
 
     from fcsr_tpu.data import load_or_synthesize
