@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fcsr_tpu.core.vectorize import vectorize_batch
+from fcsr_tpu.core.vectorize import triu_indices_colmajor
 from fcsr_tpu.evalx import centrality as C
 from fcsr_tpu.evalx import metrics as M
 
@@ -69,6 +69,40 @@ _KL_B = jax.jit(jax.vmap(M.weight_histogram_kl))
 _TILE = 8
 
 
+@jax.jit
+def _topo_tile(gt8, pred8, piv_gt8, piv_pred8):
+    """The ENTIRE per-sample topology suite for one tile as ONE program.
+
+    One dispatch per tile instead of seven kernel sweeps plus eager glue:
+    on a tunneled TPU backend every extra program costs a compile on
+    first use (60s-class stalls measured, round 5) and a dispatch
+    round-trip on every use, while the actual per-tile device compute is
+    milliseconds. Per-sample values come back; aggregation is host-side
+    numpy (no eager device reductions anywhere in the eval path)."""
+    bc_p = jax.vmap(C.betweenness_centrality)(pred8, piv_pred8)
+    bc_g = jax.vmap(C.betweenness_centrality)(gt8, piv_gt8)
+    ec_p, ec_ok_p = jax.vmap(functools.partial(
+        C.eigenvector_centrality, return_converged=True))(pred8)
+    ec_g, ec_ok_g = jax.vmap(functools.partial(
+        C.eigenvector_centrality, return_converged=True))(gt8)
+    pr_p, pr_ok_p = jax.vmap(functools.partial(
+        C.pagerank, return_converged=True))(pred8)
+    pr_g, pr_ok_g = jax.vmap(functools.partial(
+        C.pagerank, return_converged=True))(gt8)
+    kc_p = jax.vmap(C.weighted_kcore_scores)(pred8)
+    kc_g = jax.vmap(C.weighted_kcore_scores)(gt8)
+    kl = jax.vmap(M.weight_histogram_kl)(gt8, pred8)
+    return {
+        "mae_betweenness": jnp.mean(jnp.abs(bc_p - bc_g), axis=1),
+        "mae_eigenvector": jnp.mean(jnp.abs(ec_p - ec_g), axis=1),
+        "mae_pagerank": jnp.mean(jnp.abs(pr_p - pr_g), axis=1),
+        "mae_core_periphery": jnp.mean(jnp.abs(kc_p - kc_g), axis=1),
+        "kl_weights": kl,
+        "ec_converged": ec_ok_p & ec_ok_g,
+        "pr_converged": pr_ok_p & pr_ok_g,
+    }
+
+
 def _run_tiled(fn, *arrays):
     b = arrays[0].shape[0]
     outs = []
@@ -87,9 +121,21 @@ def _run_tiled(fn, *arrays):
     return jax.tree.map(lambda *os: jnp.concatenate(os, axis=0), *outs)
 
 
+def _pad_tile(a: np.ndarray) -> np.ndarray:
+    m = a.shape[0]
+    if m == _TILE:
+        return a
+    return np.concatenate([a, np.repeat(a[:1], _TILE - m, axis=0)], axis=0)
+
+
 def _device_metrics(gt: np.ndarray, pred: np.ndarray,
                     seed: Optional[int]) -> Dict[str, float]:
-    """Per-sample centrality/histogram metrics on device, batched."""
+    """Per-sample centrality/histogram metrics on device, batched.
+
+    All tiles are dispatched asynchronously through the single fused
+    ``_topo_tile`` program (numpy tiles in, per-sample values out), then
+    gathered once — the eval pass costs len(stack)/_TILE dispatches and
+    zero eager device ops. Aggregation runs host-side in f64 numpy."""
     n_samples, n, _ = gt.shape
     k = min(10, n)
     rng = random.Random(seed)
@@ -101,48 +147,38 @@ def _device_metrics(gt: np.ndarray, pred: np.ndarray,
         piv_gt.append(_sample_pivots(n, k, rng))
     piv_pred, piv_gt = np.stack(piv_pred), np.stack(piv_gt)
 
+    gt = np.asarray(gt, dtype=np.float64)
+    pred = np.asarray(pred, dtype=np.float64)
+
     # Run in f64 (scoped — the training path stays f32): the NetworkX
     # reference computes in double precision and the power-iteration
     # stopping criteria sit near the f32 noise floor.
+    tiles = []
     with jax.enable_x64(True):
-        gt_j = jnp.asarray(gt, dtype=jnp.float64)
-        pred_j = jnp.asarray(pred, dtype=jnp.float64)
+        for lo in range(0, n_samples, _TILE):
+            sl = slice(lo, lo + _TILE)
+            out = _topo_tile(_pad_tile(gt[sl]), _pad_tile(pred[sl]),
+                             _pad_tile(piv_gt[sl]), _pad_tile(piv_pred[sl]))
+            tiles.append((out, min(_TILE, n_samples - lo)))
+    # gather: one device->host sync per tile AFTER all dispatches landed
+    rows = {key: np.concatenate(
+        [np.asarray(out[key])[:m] for out, m in tiles])
+        for key in tiles[0][0]}
 
-        def checked(fn, x, what):
-            v, ok = _run_tiled(fn, x)
-            if not bool(jnp.all(ok)):
-                # networkx raises PowerIterationFailedConvergence here;
-                # silently reporting the last iterate would make the two
-                # backends compute different quantities
-                raise RuntimeError(
-                    f"{what} power iteration failed to converge within "
-                    "max_iter (networkx raises "
-                    "PowerIterationFailedConvergence for this input)")
-            return v
-
-        def kc(x):
-            return _run_tiled(_KC_B, x)
-
-        def bc(x, piv):
-            return _run_tiled(_BC_B, x, piv)
-
-        bc_mae = jnp.mean(jnp.abs(bc(pred_j, jnp.asarray(piv_pred))
-                                  - bc(gt_j, jnp.asarray(piv_gt))), axis=1)
-        ec_mae = jnp.mean(jnp.abs(
-            checked(_EC_B, pred_j, "eigenvector centrality")
-            - checked(_EC_B, gt_j, "eigenvector centrality")), axis=1)
-        pr_mae = jnp.mean(jnp.abs(
-            checked(_PR_B, pred_j, "pagerank")
-            - checked(_PR_B, gt_j, "pagerank")), axis=1)
-        cp_mae = jnp.mean(jnp.abs(kc(pred_j) - kc(gt_j)), axis=1)
-        kl_div = _run_tiled(_KL_B, gt_j, pred_j)
-    return {
-        "mae_betweenness": float(jnp.mean(bc_mae)),
-        "mae_eigenvector": float(jnp.mean(ec_mae)),
-        "mae_pagerank": float(jnp.mean(pr_mae)),
-        "mae_core_periphery": float(jnp.mean(cp_mae)),
-        "kl_weights": float(jnp.mean(kl_div)),
-    }
+    for key, what in (("ec_converged", "eigenvector centrality"),
+                      ("pr_converged", "pagerank")):
+        if not bool(rows[key].all()):
+            # networkx raises PowerIterationFailedConvergence here;
+            # silently reporting the last iterate would make the two
+            # backends compute different quantities
+            raise RuntimeError(
+                f"{what} power iteration failed to converge within "
+                "max_iter (networkx raises "
+                "PowerIterationFailedConvergence for this input)")
+    return {key: float(np.mean(rows[key]))
+            for key in ("mae_betweenness", "mae_eigenvector",
+                        "mae_pagerank", "mae_core_periphery",
+                        "kl_weights")}
 
 
 def _networkx_metrics(gt: np.ndarray, pred: np.ndarray,
@@ -231,9 +267,12 @@ def evaluate_pair_stacks(gt_matrices, pred_matrices,
 
     # global regression metrics on the column-major vectorized concats:
     # tiny host-side reductions, computed in full f64 with scipy (the
-    # reference's exact calls, utils/evaluation.py:110-112)
-    gt_1d = np.asarray(vectorize_batch(gt)).reshape(-1)
-    pred_1d = np.asarray(vectorize_batch(pred)).reshape(-1)
+    # reference's exact calls, utils/evaluation.py:110-112). The gather
+    # stays in numpy — bouncing 128 MB through the tunneled device for an
+    # index gather cost ~2 s per pass (measured, round 5).
+    rows, cols = triu_indices_colmajor(gt.shape[-1])
+    gt_1d = gt[..., rows, cols].reshape(-1)
+    pred_1d = pred[..., rows, cols].reshape(-1)
     out = dict(topo)
     out["mae"] = float(np.mean(np.abs(gt_1d - pred_1d)))
     try:

@@ -673,6 +673,16 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
     init_key = (repr(_dc_replace(cfg, epochs=0)), seed, n_folds)
     flats_np = _INIT_FLAT_CACHE.get(init_key)
     if flats_np is None:
+        # disk layer under the in-process memo: seeded inits are pure
+        # functions of (cfg, seed, fold count), and a FRESH process
+        # (the one-shot CV run, first_run_s) otherwise pays the eager
+        # host init stack again
+        from fcsr_tpu.utils import host_cache
+        dpath = host_cache.cache_path("gat_init", (), extra=init_key)
+        hit = host_cache.load(dpath, ("flats",))
+        if hit is not None:
+            flats_np = hit[0]
+    if flats_np is None:
         flats = []
         for j in range(n_folds):
             # init on the host CPU backend: eager init through the TPU
@@ -680,9 +690,10 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
             flat, _ = init_on_host(lambda j=j: _init_fold(j))
             flats.append(np.asarray(flat))
         flats_np = np.stack(flats)
-        if len(_INIT_FLAT_CACHE) >= 4:
-            _INIT_FLAT_CACHE.pop(next(iter(_INIT_FLAT_CACHE)))
-        _INIT_FLAT_CACHE[init_key] = flats_np
+        host_cache.save(dpath, flats=flats_np)
+    if len(_INIT_FLAT_CACHE) >= 4:
+        _INIT_FLAT_CACHE.pop(next(iter(_INIT_FLAT_CACHE)))
+    _INIT_FLAT_CACHE[init_key] = flats_np
     flat_f = _put_folded(jnp.asarray(flats_np))
 
     tr_sets = [np.asarray(tr, dtype=np.int32) for tr, _ in folds]

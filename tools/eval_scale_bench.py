@@ -29,6 +29,41 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _device_breakdown(gt, pred):
+    """Warm per-family device timings on pre-staged arrays (transfer and
+    pivot-sampling excluded; those are reported via the steady headline)."""
+    import random
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fcsr_tpu.evalx import report as R
+
+    n = gt.shape[-1]
+    with jax.enable_x64(True):
+        gt_j = jnp.asarray(gt, dtype=jnp.float64)
+        pred_j = jnp.asarray(pred, dtype=jnp.float64)
+        rng = random.Random(42)
+        piv = jnp.asarray(np.stack([R._sample_pivots(n, min(10, n), rng)
+                                    for _ in range(gt.shape[0])]))
+        jax.block_until_ready((gt_j, pred_j, piv))
+        out = {}
+        for label, fn in [
+            ("betweenness", lambda: R._run_tiled(R._BC_B, pred_j, piv)),
+            ("eigenvector", lambda: R._run_tiled(R._EC_B, pred_j)[0]),
+            ("pagerank", lambda: R._run_tiled(R._PR_B, pred_j)[0]),
+            ("kcore", lambda: R._run_tiled(R._KC_B, pred_j)),
+            ("hist_kl", lambda: R._run_tiled(R._KL_B, gt_j, pred_j)),
+        ]:
+            jax.block_until_ready(fn())  # warm/compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            out[label] = round(time.perf_counter() - t0, 4)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=112)
@@ -36,6 +71,9 @@ def main():
                                                   "eval_scale.json"))
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (CI smoke)")
+    ap.add_argument("--skip-networkx", action="store_true",
+                    help="skip the ~7 min host NetworkX pass (iterating "
+                         "on the device path)")
     args = ap.parse_args()
 
     from fcsr_tpu.utils.compile_cache import enable_persistent_cache
@@ -66,31 +104,49 @@ def main():
     t0 = time.perf_counter()
     dev_cold = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
     t_dev_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    dev = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
-    t_dev = time.perf_counter() - t0
+    steady = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
+        steady.append(time.perf_counter() - t0)
+    t_dev = min(steady)
 
-    t0 = time.perf_counter()
-    nx = evaluate_pair_stacks(gt, pred, backend="networkx", seed=42)
-    t_nx = time.perf_counter() - t0
+    # per-metric device breakdown: each family timed alone on pre-staged
+    # device arrays through its individually-jitted kernel (the headline
+    # pass runs the FUSED one-dispatch-per-tile program; these isolate
+    # where the device compute itself goes)
+    breakdown = _device_breakdown(gt, pred)
 
-    deltas = {k: abs(dev[k] - nx[k]) for k in dev}
+    if args.skip_networkx:
+        nx, t_nx = None, None
+    else:
+        t0 = time.perf_counter()
+        nx = evaluate_pair_stacks(gt, pred, backend="networkx", seed=42)
+        t_nx = time.perf_counter() - t0
+
     line = {
         "metric": f"eval connectomes/sec (full metric suite, "
                   f"{args.n} HR pairs)",
         "value": round(args.n / t_dev, 2),
         "unit": "connectomes/sec",
         "device_steady_s": round(t_dev, 3),
+        "device_steady_median_s": round(sorted(steady)[1], 3),
+        "device_steady_passes_s": [round(s, 3) for s in steady],
         "device_cold_s": round(t_dev_cold, 3),
-        "networkx_s": round(t_nx, 3),
-        "speedup_vs_networkx": round(t_nx / t_dev, 2),
+        "device_breakdown_s": breakdown,
         "n_pairs": args.n,
         "device_metrics": {k: round(v, 8) for k, v in dev.items()},
-        "networkx_metrics": {k: round(v, 8) for k, v in nx.items()},
-        "backend_deltas": {k: float(f"{v:.3e}")
-                           for k, v in deltas.items()},
         "device": str(jax.devices()[0]),
     }
+    if nx is not None:
+        deltas = {k: abs(dev[k] - nx[k]) for k in dev}
+        line.update({
+            "networkx_s": round(t_nx, 3),
+            "speedup_vs_networkx": round(t_nx / t_dev, 2),
+            "networkx_metrics": {k: round(v, 8) for k, v in nx.items()},
+            "backend_deltas": {k: float(f"{v:.3e}")
+                               for k, v in deltas.items()},
+        })
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(line, f, indent=1)

@@ -25,13 +25,25 @@ elapsed``. The historical round-2 steady comparison (GAT 43.9 s, MLP
 297 s for their recorded workloads) is kept as ``vs_round2`` — the
 value that must stay >= 1.0 to not regress within-family.
 
-All passes run in one process: cold (first execution, includes
-compiles) then N steady (warm) passes. The JSON line reports the BEST
-steady pass (all passes are recorded in ``steady_passes_s``): the
-tunnelled runtime's per-dispatch latency jitters 2-3x minute-to-minute
-(PERF.md "tunnel-weather measurement"), so the min over warm passes is
-the reproducible steady state of the program itself, while a single
-draw measures the link weather of one minute.
+Phase definitions (PERF.md "cold" reconciliation, round 5):
+
+  * ``cold_s`` — the IN-PROCESS first pass: host tracing + client
+    compile (or persistent-cache deserialize) + the tunnelled server's
+    per-process program load + host precompute (SVD/spectral, unless
+    disk-cached) + staging + init + one full workload execution.
+  * ``elapsed_s`` / ``steady_passes_s`` — warm passes in the same
+    process (programs loaded, host precompute memoized, staging
+    content-cached): the steady state of the program itself. The JSON
+    line reports the min; ``elapsed_median_s`` the median. The
+    tunnelled runtime's per-dispatch latency jitters 2-3x
+    minute-to-minute (PERF.md "tunnel-weather measurement"), so min is
+    the reproducible program property, median the typical draw.
+  * ``first_run_s`` (``--first-runs N``) — FRESH-PROCESS one-shot runs
+    with warm DISK caches (persistent XLA compile cache + host
+    precompute npz cache populated, in-process memos gone): the wall
+    clock a user pays for ``run_*_cv_fast`` the first time in a new
+    Python process — the reference's own usage shape. Measured by
+    spawning subprocesses AFTER the in-process passes.
 """
 
 import argparse
@@ -113,6 +125,13 @@ def main():
                     help="warm passes to run; the reported steady time "
                          "is their min (link-weather robustness, see "
                          "module docstring)")
+    ap.add_argument("--first-runs", type=int, default=0,
+                    help="fresh-process one-shot passes to run AFTER the "
+                         "in-process passes (warm disk caches); recorded "
+                         "as first_run_passes_s / first_run_s (median)")
+    ap.add_argument("--one-pass", action="store_true",
+                    help="internal: run exactly one pass and print its "
+                         "elapsed seconds (the --first-runs subprocess)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -142,12 +161,35 @@ def main():
             mae, work = run_mlp(data, args.splits, args.epochs)
         return time.perf_counter() - t0, mae, work
 
+    if args.one_pass:
+        t, mae, work = one_pass()
+        print(json.dumps({"one_pass_s": round(t, 3),
+                          "mean_val_mae": round(mae, 6), "work": work}))
+        return
+
     t_cold, _, _ = one_pass()
     steadies = []
     for _ in range(max(1, args.steady_passes)):
         t_steady, mae, work = one_pass()
         steadies.append(t_steady)
     t_steady = min(steadies)
+
+    first_runs = []
+    if args.first_runs:
+        import subprocess
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--family", args.family, "--splits", str(args.splits),
+               "--epochs", str(args.epochs), "--one-pass"]
+        if args.no_fused:
+            cmd.append("--no-fused")
+        if args.unroll is not None:
+            cmd += ["--unroll", str(args.unroll)]
+        for i in range(args.first_runs):
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True)
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            first_runs.append(rec["one_pass_s"])
+            print(f"first_run {i}: {rec['one_pass_s']} s", file=sys.stderr)
 
     # unified vs_baseline: the 60 s north-star budget scaled to this
     # run's work items (same denominator semantics as bench.py); the
@@ -169,6 +211,7 @@ def main():
                            f"for {R2_WORK[args.family]} work items "
                            "(PERF.md), scaled to this workload",
         "elapsed_s": round(t_steady, 3),
+        "elapsed_median_s": round(sorted(steadies)[len(steadies) // 2], 3),
         "steady_passes_s": [round(s, 3) for s in steadies],
         "cold_s": round(t_cold, 3),
         "splits": args.splits,
@@ -178,6 +221,9 @@ def main():
         "mean_val_mae": round(mae, 6),
         "device": str(jax.devices()[0]),
     }
+    if first_runs:
+        line["first_run_s"] = sorted(first_runs)[len(first_runs) // 2]
+        line["first_run_passes_s"] = first_runs
     out = args.out or os.path.join("outputs", args.family, "bench.json")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
