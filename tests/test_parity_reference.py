@@ -235,3 +235,26 @@ def test_mlp_transplant_smoke():
     assert d_val < 1e-4, (ref_val, our_val)
     assert ref_dec == our_dec and ref_best == our_best
     assert abs(ref_mae - our_mae) < 1e-3, (ref_mae, our_mae)
+
+
+@needs_reference
+@pytest.mark.slow
+def test_gsr_transplant_full_schedule_smoke(tmp_path, monkeypatch):
+    """The exact code path that produced
+    outputs/parity/gsr_transplant_full_schedule.json (round 5: 5-fold
+    KFold(42) x 167 x 200 epochs, max final-val-MAE delta 2.2e-4) at toy
+    scale: 2 folds x 2 epochs x 9 subjects, per-fold deltas bounded."""
+    import argparse
+
+    tools = _tools()
+    monkeypatch.chdir(tmp_path)
+    args = argparse.Namespace(splits=2, n=9, epochs=2, lr=1e-4,
+                              lmbda=16.0, f64=False, tpu=False)
+    report = tools.run_gsr_transplant_full(args)
+    assert report["family"] == "gsr"
+    assert len(report["folds"]) == 2
+    for rep in report["folds"]:
+        assert rep["first_step_loss_delta"] < 1e-5
+        assert rep["final_val_mae_delta"] < 1e-3
+    assert (tmp_path / "outputs" / "parity"
+            / "gsr_transplant_full_schedule.json").exists()
