@@ -41,17 +41,22 @@ def _offdiag(w):
 
 
 def eigenvector_centrality(w, max_iter: int = 1000, tol: float = 1e-6,
-                           return_converged: bool = False):
+                           return_converged: bool = False,
+                           dtype=jnp.float64):
     """NetworkX-semantics eigenvector centrality of a weighted undirected
     graph given as a dense matrix (self-loops ignored).
 
     ``return_converged`` additionally returns the convergence flag —
     networkx RAISES PowerIterationFailedConvergence when max_iter is
     exhausted; device callers should check the flag and mirror that
-    (report.py does) instead of silently using the last iterate."""
-    w = _offdiag(jnp.asarray(w, dtype=jnp.float64))
+    (report.py does) instead of silently using the last iterate.
+
+    ``dtype``: float64 (default) matches networkx's double-precision
+    values to ~1e-8; float32 is the TPU fast path (v5e has no native
+    f64 ALU — XLA emulates it ~15x slower) with values within ~1e-6."""
+    w = _offdiag(jnp.asarray(w, dtype=dtype))
     n = w.shape[0]
-    x0 = jnp.full((n,), 1.0 / n, dtype=jnp.float64)
+    x0 = jnp.full((n,), 1.0 / n, dtype=dtype)
 
     def cond(state):
         _, it, done = state
@@ -77,17 +82,17 @@ def eigenvector_centrality(w, max_iter: int = 1000, tol: float = 1e-6,
 
 
 def pagerank(w, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6,
-             return_converged: bool = False):
+             return_converged: bool = False, dtype=jnp.float64):
     """NetworkX-semantics PageRank on a dense weighted matrix (self-loops
     ignored; undirected graphs are symmetric here so in/out coincide).
-    ``return_converged``: see eigenvector_centrality."""
-    w = _offdiag(jnp.asarray(w, dtype=jnp.float64))
+    ``return_converged``/``dtype``: see eigenvector_centrality."""
+    w = _offdiag(jnp.asarray(w, dtype=dtype))
     n = w.shape[0]
     s = w.sum(axis=1)
     a = jnp.where(s[:, None] != 0, w / jnp.where(s[:, None] == 0, 1.0,
                                                  s[:, None]), 0.0)
     dangling = s == 0
-    p = jnp.full((n,), 1.0 / n, dtype=jnp.float64)
+    p = jnp.full((n,), 1.0 / n, dtype=dtype)
     x0 = p
 
     def cond(state):
@@ -119,7 +124,7 @@ def _dijkstra_dense(dist_mx, source: jax.Array):
     round-1 fori(n) form (the official-metrics program's first TPU compile
     dropped from ~minutes; see PERF.md)."""
     n = dist_mx.shape[0]
-    d0 = jnp.full((n,), _INF).at[source].set(0.0)
+    d0 = jnp.full((n,), _INF, dtype=dist_mx.dtype).at[source].set(0.0)
 
     def cond(state):
         _, changed, it = state
@@ -156,11 +161,18 @@ def _brandes_from_pivot(dist_mx, source: jax.Array, eps: float = 1e-12):
     d = _dijkstra_dense(dist_mx, source)
     reach = d < _INF / 2
 
-    # pred[u, v] = True iff u is a Dijkstra predecessor of v
+    # pred[u, v] = True iff u is a Dijkstra predecessor of v. The strict
+    # d[u] < d[v] condition is implied by positive weights in exact math
+    # but NOT under rounding: without it, a near-tie within eps in both
+    # directions creates a 2-cycle in the "DAG" and the sigma fixpoint
+    # explodes geometrically (observed in f32). With it the predecessor
+    # graph is provably acyclic in any precision (d strictly increases
+    # along every edge).
     has_edge = dist_mx < _INF / 2
     tol = eps * (1.0 + jnp.abs(d)[None, :])
     pred = has_edge & reach[:, None] & reach[None, :] \
-        & (jnp.abs(d[:, None] + dist_mx - d[None, :]) <= tol)
+        & (jnp.abs(d[:, None] + dist_mx - d[None, :]) <= tol) \
+        & (d[:, None] < d[None, :])
     p_mx = pred.astype(d.dtype)
 
     e_s = jnp.zeros((n,), dtype=d.dtype).at[source].set(1.0)
@@ -197,8 +209,9 @@ def _brandes_from_pivot(dist_mx, source: jax.Array, eps: float = 1e-12):
     return delta.at[source].set(0.0)
 
 
-@partial(jax.jit, static_argnames=("normalized",))
-def betweenness_centrality(w, pivots, normalized: bool = True):
+@partial(jax.jit, static_argnames=("normalized", "dtype"))
+def betweenness_centrality(w, pivots, normalized: bool = True,
+                           dtype=jnp.float64):
     """Pivot-sampled weighted betweenness centrality
     (networkx betweenness_centrality(weight='weight', k=len(pivots))).
 
@@ -207,14 +220,22 @@ def betweenness_centrality(w, pivots, normalized: bool = True):
     the reference's stochastic pivot choice, ref: utils/evaluation.py:66-67).
     Uses the networkx>=3.5 sampling rescale: source pivots are scaled by
     1/((k-1)(n-2)), non-pivots by 1/(k(n-2)).
+
+    ``dtype``: float64 (default) reproduces networkx to ~1e-9; float32
+    is the TPU fast path (no native f64 on v5e) — the predecessor-tie
+    tolerance widens from 1e-12 to 1e-5 relative, so near-degenerate
+    shortest-path ties may resolve differently (values within ~1e-5 on
+    connectome-class graphs, measured round 5).
     """
-    w = _offdiag(jnp.asarray(w, dtype=jnp.float64))
+    w = _offdiag(jnp.asarray(w, dtype=dtype))
     n = w.shape[0]
     k = pivots.shape[0]
+    eps = 1e-12 if dtype == jnp.float64 else 1e-5
     dist_mx = jnp.where(w != 0, w, _INF)
     dist_mx = jnp.where(jnp.eye(n, dtype=bool), _INF, dist_mx)
 
-    deltas = jax.vmap(lambda s: _brandes_from_pivot(dist_mx, s))(pivots)
+    deltas = jax.vmap(lambda s: _brandes_from_pivot(dist_mx, s,
+                                                    eps=eps))(pivots)
     bc = deltas.sum(axis=0)
 
     if normalized:

