@@ -313,8 +313,17 @@ def _build_programs(cfg: GSRTrainConfig, epochs: int = None, mesh=None):
     model, template, unravel, train_all, eval_all = _build_raw_programs(
         cfg, epochs)
     if mesh is None:
-        return model, template, unravel, jax.jit(train_all), \
-            jax.jit(eval_all)
+        # AOT executable disk cache (utils/aot_cache.py): a fresh
+        # process skips the client lower+compile of the big
+        # fold-parallel programs (measured ~14 s for the same-class GAT
+        # chunk program — PERF.md); plain jit on any failure. ``epochs``
+        # is baked into the scan, not the operands, so it must be part
+        # of the tag — two epoch counts can share argument shapes.
+        from fcsr_tpu.utils.aot_cache import wrap
+        tag = f"{cfg!r}|ep={epochs}"
+        return model, template, unravel, \
+            wrap(f"gsr_train|{tag}", jax.jit(train_all)), \
+            wrap(f"gsr_eval|{tag}", jax.jit(eval_all))
 
     fold = NamedSharding(mesh, P("batch"))
     rep = NamedSharding(mesh, P())

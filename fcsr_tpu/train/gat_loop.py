@@ -803,7 +803,16 @@ def train_gat_folds_parallel(cfg: GATTrainConfig, lr_all, hr_all, folds,
 
     # ---- on-device control (default) ----------------------------------
     if mesh is None:
-        chunk_fn = progs.chunk_jit
+        # AOT executable disk cache: a fresh process skips the ~14 s
+        # client lower+compile of the chunk program (the server-side
+        # per-process load is paid either way — PERF.md, measured with
+        # tools/experiments/gat_aot_probe.py). Unsharded path only;
+        # falls back to the plain jit on any failure or when disabled
+        # (FCSR_AOT_CACHE=0 / non-TPU backend).
+        from fcsr_tpu.utils.aot_cache import wrap as _aot_wrap
+        chunk_fn = _aot_wrap(
+            f"gat_chunk|{_dc_replace(cfg, epochs=0)!r}|interp={interp}",
+            progs.chunk_jit)
         _put_epochs = jnp.asarray
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P

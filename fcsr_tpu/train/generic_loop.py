@@ -259,7 +259,22 @@ def _build_device_control_program(model, criterion: Callable,
         model, criterion, mutable_cols, lr0, batch_size, n, patience,
         plateau_threshold, plateau_factor, clip_norm, weight_decay,
         min_lr_stop)
-    return jax.jit(run_chunk), tx
+    return _aot(("single", model, criterion, mutable_cols, lr0,
+                 batch_size, n, patience, plateau_threshold,
+                 plateau_factor, clip_norm, weight_decay, min_lr_stop),
+                jax.jit(run_chunk)), tx
+
+
+def _aot(key_parts, jit_fn):
+    """AOT executable disk cache over a control program (see
+    utils/aot_cache.py — skips the client lower+compile in a fresh
+    process; plain jit on any failure). Every Python value baked into
+    the traced program must appear in the tag; argument shapes/dtypes
+    are keyed by the wrapper itself."""
+    from fcsr_tpu.utils.aot_cache import callable_id, wrap
+    parts = [callable_id(p) if callable(p) and not hasattr(p, "apply")
+             else repr(p) for p in key_parts]
+    return wrap("mlp_chunk|" + "|".join(parts), jit_fn)
 
 
 @lru_cache(maxsize=32)
@@ -281,8 +296,11 @@ def _build_fold_control_program(model, criterion: Callable,
         model, criterion, mutable_cols, lr0, batch_size, n, patience,
         plateau_threshold, plateau_factor, clip_norm, weight_decay,
         min_lr_stop)
-    return jax.jit(jax.vmap(run_chunk,
-                            in_axes=(0, 0, None, 0, 0, 0, 0))), tx
+    return _aot(("folds", model, criterion, mutable_cols, lr0,
+                 batch_size, n, patience, plateau_threshold,
+                 plateau_factor, clip_norm, weight_decay, min_lr_stop),
+                jax.jit(jax.vmap(run_chunk,
+                                 in_axes=(0, 0, None, 0, 0, 0, 0)))), tx
 
 
 def train_model(model, variables, lr_train, hr_train, lr_val, hr_val,
