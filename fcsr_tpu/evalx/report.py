@@ -120,6 +120,23 @@ _topo_tile = jax.jit(_topo_tile_body)
 _topo_tile_f32 = jax.jit(functools.partial(_topo_tile_body,
                                            dtype=jnp.float32))
 
+# AOT executable disk cache over the tile programs (utils/aot_cache.py):
+# a fresh process's first eval pass skips the client lower+compile of
+# the fused suite, same as the training chunk programs. Wrapped lazily
+# (not at import) so importing report.py never initializes a backend,
+# and memoized so repeated eval calls share one wrapper per precision.
+_AOT_TILES: Dict[str, object] = {}
+
+
+def _tile_fn(precision: str):
+    w = _AOT_TILES.get(precision)
+    if w is None:
+        from fcsr_tpu.utils.aot_cache import wrap
+        w = wrap(f"eval_topo|{precision}",
+                 _topo_tile_f32 if precision == "float32" else _topo_tile)
+        _AOT_TILES[precision] = w
+    return w
+
 # Measured rejection (round 5): folding the tile loop into one device
 # program via lax.map over (T, TILE, ...) stacks executes in ~15 s where
 # the same T=14 tile bodies as separate dispatches take ~0.17 s total —
@@ -179,13 +196,12 @@ def _device_metrics(gt: np.ndarray, pred: np.ndarray,
         # the f64/networkx backends (tested), documented in PERF.md
         gt = np.asarray(gt, dtype=np.float32)
         pred = np.asarray(pred, dtype=np.float32)
-        tile_fn = _topo_tile_f32
     elif precision == "float64":
         gt = np.asarray(gt, dtype=np.float64)
         pred = np.asarray(pred, dtype=np.float64)
-        tile_fn = _topo_tile
     else:
         raise ValueError(f"unknown precision: {precision!r}")
+    tile_fn = _tile_fn(precision)
 
     # Trace under x64 (scoped — the training path stays f32): the
     # NetworkX reference computes in double precision; the f32 fast path
